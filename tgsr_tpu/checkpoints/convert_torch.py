@@ -1,0 +1,195 @@
+"""Torch .pth -> JAX/Flax variable-tree converter.
+
+Consumes the reference checkpoints (Checkpoint/face_S8/netG_epoch_7.pth,
+netGH_epoch_7.pth and DAMSM text_encoder*.pth) and produces the
+{'params': ..., 'batch_stats': ...} trees of the tgsr_tpu models.
+
+Layout conversions:
+  conv weight   OIHW -> HWIO
+  1x1 "conv" on word vectors (att.conv_context) -> Dense kernel [in, out]
+  linear weight [out, in] -> [in, out]
+  BatchNorm     weight/bias -> scale/bias (params);
+                running_mean/var -> mean/var (batch_stats)
+  LSTM          weight_ih_l0 [4H, in] -> w_ih [in, 4H] (gate order i,f,g,o
+                preserved); _reverse -> bwd direction
+
+The input may be a real torch state_dict (torch is CPU-importable here) or
+any mapping of str -> numpy-convertible arrays, so the converter itself has
+no hard torch dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (incl. on any device)
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv(t) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def _dense(t) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return _np(t).T
+
+
+def _bn_params(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _bn_stats(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _resblock(sd: Mapping, prefix: str):
+    """torch `ResBlock.block` Sequential(conv,BN,GLU,conv,BN) -> flax ResBlock."""
+    params = {
+        "conv1": {"kernel": _conv(sd[f"{prefix}.0.weight"])},
+        "bn1": _bn_params(sd, f"{prefix}.1"),
+        "conv2": {"kernel": _conv(sd[f"{prefix}.3.weight"])},
+        "bn2": _bn_params(sd, f"{prefix}.4"),
+    }
+    stats = {"bn1": _bn_stats(sd, f"{prefix}.1"), "bn2": _bn_stats(sd, f"{prefix}.4")}
+    return params, stats
+
+
+def _conv_bn(sd: Mapping, prefix: str, conv_idx: int = 0, bn_idx: int = 1):
+    """Sequential(conv, BN, GLU) -> {'conv': ..., 'bn': ...}."""
+    params = {
+        "conv": {"kernel": _conv(sd[f"{prefix}.{conv_idx}.weight"])},
+        "bn": _bn_params(sd, f"{prefix}.{bn_idx}"),
+    }
+    stats = {"bn": _bn_stats(sd, f"{prefix}.{bn_idx}")}
+    return params, stats
+
+
+def convert_netg_low(sd: Mapping, n_stages: int = 3) -> Dict[str, Any]:
+    """netG_epoch_N.pth (G_SR_NET_low, model.py:34-78) -> GSRNetLow variables.
+
+    Checkpoint ground truth: 104 tensors, keys ca_net.fc.*,
+    h_net{1..3}.{att.conv_context, im2f, residual.{0,1}, upsample},
+    img_net{1..3}.img.0 (verified by load; see SURVEY.md 2.5).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["ca_net"] = {
+        "fc": {"kernel": _dense(sd["ca_net.fc.weight"]),
+               "bias": _np(sd["ca_net.fc.bias"])}
+    }
+
+    for k in range(1, n_stages + 1):
+        hp: Dict[str, Any] = {}
+        hs: Dict[str, Any] = {}
+        # attention word projection: [idf, cdf, 1, 1] -> Dense [cdf, idf]
+        w = _np(sd[f"h_net{k}.att.conv_context.weight"])
+        hp["att"] = {"conv_context": {"kernel": w[:, :, 0, 0].T}}
+        if k == 1:
+            hp["im2f_conv"] = {"kernel": _conv(sd["h_net1.im2f.0.weight"])}
+            hp["im2f_bn"] = _bn_params(sd, "h_net1.im2f.1")
+            hs["im2f_bn"] = _bn_stats(sd, "h_net1.im2f.1")
+        # residual blocks
+        j = 0
+        while f"h_net{k}.residual.{j}.block.0.weight" in sd:
+            rp, rs = _resblock(sd, f"h_net{k}.residual.{j}.block")
+            hp[f"residual_{j}"] = rp
+            hs[f"residual_{j}"] = rs
+            j += 1
+        # upsample: Sequential(Upsample, conv, BN, GLU) -> indices 1, 2
+        up_p, up_s = _conv_bn(sd, f"h_net{k}.upsample", conv_idx=1, bn_idx=2)
+        hp["upsample"] = up_p
+        hs["upsample"] = up_s
+        params[f"h_net{k}"] = hp
+        stats[f"h_net{k}"] = hs
+        params[f"img_net{k}"] = {
+            "conv": {"kernel": _conv(sd[f"img_net{k}.img.0.weight"])}
+        }
+
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_netgh_weight(sd: Mapping, n_res: int = 6,
+                         weightmap: bool = False) -> Dict[str, Any]:
+    """netGH_epoch_N.pth (NetG_highweight, model.py:212-298) -> NetGHighWeight.
+
+    The blend weight `a` is absent from the checkpoint (unregistered-parameter
+    quirk, model.py:246-248); it is initialized to the reference constructor
+    constant 0.5.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    cp, cs = _conv_bn(sd, "convin")
+    params["convin"] = cp
+    stats["convin"] = cs
+
+    for j in range(n_res):
+        rp, rs = _resblock(sd, f"residual.{j}.block")
+        params[f"residual_{j}"] = rp
+        stats[f"residual_{j}"] = rs
+
+    for scale in ("2x", "4x", "8x"):
+        up_p, up_s = _conv_bn(sd, f"upscale{scale}", conv_idx=1, bn_idx=2)
+        params[f"upscale{scale}"] = up_p
+        stats[f"upscale{scale}"] = up_s
+
+    for name in ("residual24", "residual48"):
+        params[name] = {
+            "conv1": {"kernel": _conv(sd[f"{name}.0.weight"])},
+            "bn1": _bn_params(sd, f"{name}.1"),
+            "conv2": {"kernel": _conv(sd[f"{name}.3.weight"])},
+            "bn2": _bn_params(sd, f"{name}.4"),
+        }
+        stats[name] = {
+            "bn1": _bn_stats(sd, f"{name}.1"),
+            "bn2": _bn_stats(sd, f"{name}.4"),
+        }
+
+    params["conv_output"] = {"conv": {"kernel": _conv(sd["conv_output.0.weight"])}}
+
+    if weightmap:
+        for n in ("a1", "a2", "a3"):
+            if n in sd:
+                params[n] = _np(sd[n])
+    else:
+        params["a"] = _np(sd["a"]) if "a" in sd else np.array([0.5], np.float32)
+
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_text_encoder(sd: Mapping, rnn_type: str = "LSTM") -> Dict[str, Any]:
+    """DAMSM text_encoderN.pth (RNN_ENCODER, util.py:175-260) -> TextEncoder.
+
+    Torch packs both directions into rnn.weight_*_l0[_reverse]; gate order
+    (i,f,g,o for LSTM; r,z,n for GRU) is preserved by plain transposition.
+    """
+    params = {"embedding": _np(sd["encoder.weight"])}
+    for d, suffix in (("fwd", ""), ("bwd", "_reverse")):
+        key = f"rnn.weight_ih_l0{suffix}"
+        if key not in sd:
+            continue
+        params[f"w_ih_{d}"] = _np(sd[key]).T
+        params[f"w_hh_{d}"] = _np(sd[f"rnn.weight_hh_l0{suffix}"]).T
+        params[f"b_ih_{d}"] = _np(sd[f"rnn.bias_ih_l0{suffix}"])
+        params[f"b_hh_{d}"] = _np(sd[f"rnn.bias_hh_l0{suffix}"])
+    return {"params": params}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth state dict into numpy (torch CPU available in this env)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _np(v) for k, v in sd.items()}
