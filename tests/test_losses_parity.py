@@ -1,0 +1,116 @@
+"""DAMSM / pixel / KL loss parity vs. reference miscc/losses.py."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tgsr_tpu.losses import (  # noqa: E402
+    cycle_mse,
+    kl_loss,
+    mse_pyramid,
+    sent_loss,
+    words_loss,
+)
+from tests.reference_oracle import load_reference  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_losses():
+    load_reference()
+    import importlib
+
+    m = importlib.import_module("miscc.losses")
+    # modern torch rejects ByteTensor masks; the reference's `server=1`
+    # branch applies the .bool() cast (losses.py:52-55)
+    m.server = 1
+    return m
+
+
+def _data(B=6, E=32, T=7, R=9, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    img = torch.randn(B, E, 3, 3, generator=g)  # R = 9 regions
+    words = torch.randn(B, E, T, generator=g)
+    cap_lens = torch.tensor(sorted([T, T - 1, T - 2, 4, 3, 2], reverse=True))
+    class_ids = np.array([1, 2, 2, 3, 4, 1])
+    labels = torch.arange(B)
+    return img, words, cap_lens, class_ids, labels
+
+
+def test_sent_loss_parity(ref_losses):
+    B, E = 6, 32
+    g = torch.Generator().manual_seed(1)
+    cnn = torch.randn(B, E, generator=g)
+    rnn = torch.randn(B, E, generator=g)
+    class_ids = np.array([1, 2, 2, 3, 4, 1])
+    labels = torch.arange(B)
+    l0, l1 = ref_losses.sent_loss(cnn, rnn, labels, class_ids, B)
+    j0, j1 = sent_loss(jnp.asarray(cnn.numpy()), jnp.asarray(rnn.numpy()),
+                       jnp.asarray(class_ids), gamma3=10.0)
+    np.testing.assert_allclose(l0.item(), float(j0), rtol=1e-5)
+    np.testing.assert_allclose(l1.item(), float(j1), rtol=1e-5)
+
+
+def test_sent_loss_no_class_parity(ref_losses):
+    B, E = 5, 16
+    g = torch.Generator().manual_seed(2)
+    cnn = torch.randn(B, E, generator=g)
+    rnn = torch.randn(B, E, generator=g)
+    labels = torch.arange(B)
+    l0, l1 = ref_losses.sent_loss(cnn, rnn, labels, None, B)
+    j0, j1 = sent_loss(jnp.asarray(cnn.numpy()), jnp.asarray(rnn.numpy()),
+                       None, gamma3=10.0)
+    np.testing.assert_allclose(l0.item(), float(j0), rtol=1e-5)
+    np.testing.assert_allclose(l1.item(), float(j1), rtol=1e-5)
+
+
+def test_words_loss_parity(ref_losses):
+    img, words, cap_lens, class_ids, labels = _data()
+    B, E, T = words.shape
+    l0, l1, att = ref_losses.words_loss(img, words, labels, cap_lens,
+                                        class_ids, B)
+    # reference reads gammas from its global cfg: GAMMA1=5, GAMMA2=5, GAMMA3=10
+    j0, j1, att_j = words_loss(
+        jnp.asarray(img.numpy().reshape(B, E, -1).transpose(0, 2, 1)),
+        jnp.asarray(words.numpy().transpose(0, 2, 1)),
+        jnp.asarray(cap_lens.numpy()),
+        jnp.asarray(class_ids),
+        gamma1=5.0, gamma2=5.0, gamma3=10.0,
+    )
+    np.testing.assert_allclose(l0.item(), float(j0), rtol=1e-4)
+    np.testing.assert_allclose(l1.item(), float(j1), rtol=1e-4)
+    # attention maps: reference returns per-sample [1, L_i, ih, iw]
+    att_j = np.asarray(att_j)
+    for i, a_ref in enumerate(att):
+        L = int(cap_lens[i])
+        a_ref = a_ref.numpy().reshape(1, L, -1)
+        np.testing.assert_allclose(
+            a_ref[0], att_j[i, :L], rtol=1e-4, atol=1e-6,
+            err_msg=f"attn maps sample {i}",
+        )
+
+
+def test_mse_and_kl_parity(ref_losses):
+    g = torch.Generator().manual_seed(3)
+    fakes = [torch.randn(2, 3, s, s, generator=g) for s in (8, 16)]
+    reals = [torch.randn(2, 3, s, s, generator=g) for s in (8, 16)]
+    ref = ref_losses.MSE(fakes, reals).item()
+    got = mse_pyramid(
+        [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in fakes],
+        [jnp.asarray(r.numpy().transpose(0, 2, 3, 1)) for r in reals],
+    )
+    np.testing.assert_allclose(ref, float(got), rtol=1e-5)
+
+    mu = torch.randn(4, 10, generator=g)
+    logvar = torch.randn(4, 10, generator=g)
+    ref_kl = ref_losses.KL_loss(mu.clone(), logvar.clone()).item()
+    got_kl = kl_loss(jnp.asarray(mu.numpy()), jnp.asarray(logvar.numpy()))
+    np.testing.assert_allclose(ref_kl, float(got_kl), rtol=1e-5)

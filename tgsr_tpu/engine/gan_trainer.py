@@ -1,0 +1,249 @@
+"""Adversarial SR training engine.
+
+The reference snapshot ships NO GAN training loop (SURVEY.md 2.9): only the
+loss API (miscc/losses.py), label helpers (trainer_objective.py:43-53), EMA
+helpers (miscc/utils.py:467-474) and LR defaults (config.py:37-38) pin the
+contract. This engine reconstructs the standard AttnGAN-style trainer those
+imply, TPU-native:
+
+  * one jitted `train_step` containing BOTH the per-scale D updates and the
+    joint G (netG + netGH) update -- no host round-trips between them
+  * optax Adam(lr, b1=0.5, b2=0.999) per network (reference LR defaults)
+  * generator EMA (= copy_G_params/load_params pattern)
+  * losses: per-scale discriminator_loss + generator_loss [+ DAMSM terms
+    when an image encoder is provided] + KL(mu, logvar) + pixel MSE on both
+    pyramids
+  * mesh-ready: the step is pure; batch shards over 'data', params replicate
+    (or shard over 'model' for TP) via NamedSharding on the jit
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tgsr_tpu.config import Config
+from tgsr_tpu.losses.gan import bce_with_logits, discriminator_loss, generator_loss
+from tgsr_tpu.losses.pixel import kl_loss, mse_pyramid
+from tgsr_tpu.models.discriminator import DNet
+from tgsr_tpu.models.generator import GSRNetLow
+from tgsr_tpu.models.generator_hf import NetGHighWeight
+from tgsr_tpu.models.text_encoder import TextEncoder
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any  # {'netg': ..., 'netgh': ...}
+    g_stats: Any  # batch_stats for G nets
+    g_ema: Any  # EMA copy of g_params
+    d_params: Any  # {'d64': ..., 'd128': ..., 'd256': ...}
+    d_stats: Any
+    g_opt: Any
+    d_opt: Any
+
+
+class GANTrainer:
+    def __init__(
+        self,
+        cfg: Config,
+        vocab_size: int,
+        text_vars: Dict[str, Any],
+        image_encoder_apply: Optional[Callable] = None,
+        mesh: Optional[Mesh] = None,
+        ema_decay: float = 0.999,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.ema_decay = ema_decay
+        self.text_encoder = TextEncoder(
+            vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
+            rnn_type=cfg.RNN_TYPE)
+        self.text_vars = text_vars  # frozen DAMSM encoder
+        self.image_encoder_apply = image_encoder_apply
+
+        self.netg = GSRNetLow(ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
+                              n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM)
+        self.netgh = NetGHighWeight(ngf=cfg.GAN.GF_DIM,
+                                    weightmap=cfg.EVAL.WEIGHTMAP,
+                                    low=cfg.EVAL.INPUT_NETGH)
+        self.sizes = cfg.pyramid_sizes()
+        self.dnets = [
+            DNet(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM, img_size=s)
+            for s in self.sizes
+        ]
+        self.g_tx = optax.adam(cfg.TRAIN.GENERATOR_LR, b1=0.5, b2=0.999)
+        self.d_tx = optax.adam(cfg.TRAIN.DISCRIMINATOR_LR, b1=0.5, b2=0.999)
+        self.train_step = self._build_train_step()
+
+    # -- init -----------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, batch_size: int = 2) -> GANTrainState:
+        cfg = self.cfg
+        kg, kgh, kt, *kd = jax.random.split(rng, 3 + len(self.dnets))
+        lr = jnp.zeros((batch_size, cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE, 3))
+        words = jnp.zeros((batch_size, cfg.TEXT.WORDS_NUM, cfg.TEXT.EMBEDDING_DIM))
+        sent = jnp.zeros((batch_size, cfg.TEXT.EMBEDDING_DIM))
+        mask = jnp.zeros((batch_size, cfg.TEXT.WORDS_NUM), bool)
+
+        vg = self.netg.init(kg, lr, sent, words, mask, rng=kg, train=True)
+        fake = [jnp.zeros((batch_size, s, s, 3)) for s in self.sizes]
+        vgh = self.netgh.init(kgh, lr, fake, lr, train=True)
+
+        d_params, d_stats = {}, {}
+        for k, dn, s in zip(kd, self.dnets, self.sizes):
+            img = jnp.zeros((batch_size, s, s, 3))
+            v = dn.init(k, img, sent, train=True)
+            d_params[f"d{s}"] = v["params"]
+            d_stats[f"d{s}"] = v.get("batch_stats", {})
+
+        g_params = {"netg": vg["params"], "netgh": vgh["params"]}
+        g_stats = {"netg": vg.get("batch_stats", {}),
+                   "netgh": vgh.get("batch_stats", {})}
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_stats=g_stats,
+            # a real copy: g_ema aliasing g_params breaks donated-buffer
+            # execution (same buffer passed twice into the donating jit)
+            g_ema=jax.tree.map(jnp.copy, g_params),
+            d_params=d_params,
+            d_stats=d_stats,
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_params),
+        )
+
+    # -- the fused step --------------------------------------------------------
+
+    def _g_forward(self, g_params, g_stats, lr_img, sent, words, mask, rng):
+        """Generator chain with mutable batch stats. Returns
+        (fake_pyr, fine_pyr, mu, logvar, new_stats)."""
+        (fake, atts, mu, logvar), gupd = self.netg.apply(
+            {"params": g_params["netg"], "batch_stats": g_stats["netg"]},
+            lr_img, sent, words, mask, rng=rng, train=True,
+            mutable=["batch_stats"],
+        )
+        (fine, _, _), ghupd = self.netgh.apply(
+            {"params": g_params["netgh"], "batch_stats": g_stats["netgh"]},
+            lr_img, fake, lr_img, train=True, mutable=["batch_stats"],
+        )
+        new_stats = {"netg": gupd["batch_stats"], "netgh": ghupd["batch_stats"]}
+        return fake, fine, mu, logvar, new_stats
+
+    def _d_closures(self, dnet, params, stats):
+        v = {"params": params, "batch_stats": stats}
+
+        def d_feat(img):
+            return dnet.apply(v, img, train=False, method=DNet.features)
+
+        def d_cond(h, sent):
+            return dnet.apply(v, h, sent, train=False, method=DNet.cond_logit)
+
+        def d_uncond(h):
+            return dnet.apply(v, h, train=False, method=DNet.uncond_logit)
+
+        return d_feat, d_cond, d_uncond
+
+    def _build_train_step(self):
+        cfg = self.cfg
+        gammas = (cfg.TRAIN.SMOOTH.GAMMA1, cfg.TRAIN.SMOOTH.GAMMA2,
+                  cfg.TRAIN.SMOOTH.GAMMA3)
+
+        def step_fn(state: GANTrainState, batch: Dict[str, jax.Array],
+                    rng: jax.Array):
+            """batch: real_pyramid (list of [B,s,s,3]), lr [B,b,b,3],
+            captions [B,T], cap_lens [B], class_ids [B]."""
+            rng_ca, rng_next = jax.random.split(rng)
+            words, sent = self.text_encoder.apply(
+                self.text_vars, batch["captions"], batch["cap_lens"])
+            words = jax.lax.stop_gradient(words)
+            sent = jax.lax.stop_gradient(sent)
+            mask = batch["captions"] == 0
+            real_pyr = batch["real_pyramid"]
+
+            # ---- generator forward (shared by D and G losses) ----
+            fake, fine, mu, logvar, _ = self._g_forward(
+                state.g_params, state.g_stats, batch["lr"], sent, words, mask,
+                rng_ca)
+            fine_sg = [jax.lax.stop_gradient(f) for f in fine]
+
+            # ---- D update: sum of per-scale losses, one fused grad ----
+            def d_loss_fn(d_params):
+                total = 0.0
+                for dn, s, real, fk in zip(self.dnets, self.sizes, real_pyr,
+                                           fine_sg):
+                    closures = self._d_closures(dn, d_params[f"d{s}"],
+                                                state.d_stats[f"d{s}"])
+                    total = total + discriminator_loss(
+                        *closures, real, fk, sent)
+                return total
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+            d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt,
+                                                state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+
+            # ---- G update (against the UPDATED D, AttnGAN convention) ----
+            def g_loss_fn(g_params):
+                fake_g, fine_g, mu_g, logvar_g, new_stats = self._g_forward(
+                    g_params, state.g_stats, batch["lr"], sent, words, mask,
+                    rng_ca)
+                ds = [
+                    self._d_closures(dn, d_params[f"d{s}"],
+                                     state.d_stats[f"d{s}"])
+                    for dn, s in zip(self.dnets, self.sizes)
+                ]
+                adv, logs = generator_loss(
+                    ds, self.image_encoder_apply, fine_g, sent, words,
+                    batch["cap_lens"], batch.get("class_ids"),
+                    gammas, cfg.TRAIN.SMOOTH.LAMBDA,
+                )
+                kl = kl_loss(mu_g, logvar_g)
+                pix = mse_pyramid(fake_g, real_pyr) + mse_pyramid(fine_g,
+                                                                  real_pyr)
+                total = adv + kl + pix
+                logs.update({"kl": kl, "pixel": pix, "adv": adv})
+                return total, (logs, new_stats)
+
+            (g_loss, (logs, new_g_stats)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params)
+            g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
+                                                state.g_params)
+            g_params = optax.apply_updates(state.g_params, g_updates)
+            g_ema = jax.tree.map(
+                lambda e, p: e * self.ema_decay + p * (1 - self.ema_decay),
+                state.g_ema, g_params)
+
+            new_state = state.replace(
+                step=state.step + 1,
+                g_params=g_params, g_stats=new_g_stats, g_ema=g_ema,
+                d_params=d_params, d_opt=d_opt, g_opt=g_opt,
+            )
+            metrics = {"d_loss": d_loss, "g_loss": g_loss, **logs}
+            return new_state, metrics, rng_next
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+
+            def shard_batch_spec(batch):
+                return {
+                    k: ([NamedSharding(self.mesh, P("data", None, None, None))
+                         for _ in v] if isinstance(v, list) else
+                        NamedSharding(self.mesh,
+                                      P("data", *([None] * (v.ndim - 1)))))
+                    for k, v in batch.items()
+                }
+
+            return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def clip_by_global_norm(tx: optax.GradientTransformation,
+                        max_norm: float) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(max_norm), tx)

@@ -1,0 +1,179 @@
+"""Batched, jitted, mesh-sharded SR inference engine.
+
+= the inference pipeline of condGANTrainer.gen_exampleSRHL
+(trainer_objective.py:55-165): text-encode the caption, run the
+low-frequency attentive generator, refine with the high-frequency branch,
+return the finest image. Where the reference loops images one-at-a-time at
+batch 1 on one GPU, this engine jits the whole chain once (static shapes),
+batches it, and shards the batch over the 'data' mesh axis.
+
+Compute dtype: `bfloat16` runs the conv/attention stack on the MXU at full
+rate; params are kept in float32 and cast at use (bf16 matmul accumulates in
+f32 on TPU). PSNR impact is validated in tests/bench against the f32 path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tgsr_tpu.config import Config
+from tgsr_tpu.models.generator import GSRNetLow, GSRNetLowStage1
+from tgsr_tpu.models.generator_hf import NetGHighWeight
+from tgsr_tpu.models.text_encoder import TextEncoder
+
+
+class SRPipeline:
+    """Text-guided SR inference: (LR, captions, cap_lens) -> SR.
+
+    Construct with converted variable trees (see tgsr_tpu.checkpoints) or
+    freshly-initialized ones. `mesh=None` runs single-device.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        vocab_size: int,
+        text_vars: Dict[str, Any],
+        netg_vars: Dict[str, Any],
+        netgh_vars: Dict[str, Any],
+        mesh: Optional[Mesh] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+        return_attn: bool = False,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.return_attn = return_attn
+
+        self.text_encoder = TextEncoder(
+            vocab_size=vocab_size,
+            nhidden=cfg.TEXT.EMBEDDING_DIM,
+            rnn_type=cfg.RNN_TYPE,
+        )
+        if cfg.EVAL.STAGE1:
+            self.netg = GSRNetLowStage1(ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
+                                        r_num=cfg.GAN.R_NUM)
+        else:
+            self.netg = GSRNetLow(
+                ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
+                n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
+            )
+        self.netgh = NetGHighWeight(
+            ngf=cfg.GAN.GF_DIM,
+            weightmap=cfg.EVAL.WEIGHTMAP,
+            low=cfg.EVAL.INPUT_NETGH,
+        )
+        self.variables = {
+            "text": text_vars,
+            "netg": netg_vars,
+            "netgh": netgh_vars,
+        }
+
+        self._forward = self._build_forward()
+
+    # -- construction helpers ------------------------------------------------
+
+    @classmethod
+    def from_reference_checkpoints(
+        cls, cfg: Config, vocab_size: int,
+        netg_path: str, netgh_path: Optional[str] = None,
+        text_encoder_path: Optional[str] = None,
+        text_seed: int = 100, **kw,
+    ) -> "SRPipeline":
+        """Mirrors the reference loading protocol: netGH path derived from
+        netG by name substitution (trainer_objective.py:91-93)."""
+        from tgsr_tpu.checkpoints.convert_torch import (
+            convert_netg_low, convert_netgh_weight, convert_text_encoder,
+            load_torch_state_dict,
+        )
+
+        if netgh_path is None:
+            netgh_path = netg_path.replace("netG", "netGH")
+        netg_vars = convert_netg_low(load_torch_state_dict(netg_path),
+                                     n_stages=cfg.n_stages)
+        netgh_vars = convert_netgh_weight(load_torch_state_dict(netgh_path))
+        enc = TextEncoder(vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
+                          rnn_type=cfg.RNN_TYPE)
+        if text_encoder_path:
+            if text_encoder_path.endswith(".pth"):
+                text_vars = convert_text_encoder(
+                    load_torch_state_dict(text_encoder_path), cfg.RNN_TYPE)
+            else:
+                from tgsr_tpu.checkpoints.io import load_variables
+
+                text_vars = load_variables(text_encoder_path)
+        else:
+            # the reference snapshot ships no NET_E weights; fall back to a
+            # seeded init (documented gap -- train with engine.damsm_trainer)
+            text_vars = enc.init(
+                jax.random.PRNGKey(text_seed),
+                jnp.zeros((1, cfg.TEXT.WORDS_NUM), jnp.int32),
+                jnp.ones((1,), jnp.int32),
+            )
+        return cls(cfg, vocab_size, text_vars, netg_vars, netgh_vars, **kw)
+
+    # -- forward -------------------------------------------------------------
+
+    def _build_forward(self):
+        cdt = self.compute_dtype
+        return_attn = self.return_attn
+
+        def forward(variables, lr, captions, cap_lens):
+            # lr: [B, h, w, 3] float32 in [-1,1]; captions [B, T] int32
+            words, sent = self.text_encoder.apply(
+                variables["text"], captions, cap_lens
+            )
+            mask = captions == 0
+            lr_c = lr.astype(cdt)
+            words_c = words.astype(cdt)
+            sent_c = sent.astype(cdt)
+            fake_imgs, att_maps, mu, logvar = self.netg.apply(
+                _cast_floats(variables["netg"], cdt), lr_c, sent_c, words_c, mask
+            )
+            fine, _, _ = self.netgh.apply(
+                _cast_floats(variables["netgh"], cdt), lr_c, fake_imgs, lr_c
+            )
+            sr = fine[-1].astype(jnp.float32)
+            out = {"sr": sr, "pyramid": [f.astype(jnp.float32) for f in fine]}
+            if return_attn:
+                out["attn"] = [a.astype(jnp.float32) for a in att_maps]
+            return out
+
+        if self.mesh is not None:
+            data = NamedSharding(self.mesh, P("data"))
+            data4 = NamedSharding(self.mesh, P("data", None, None, None))
+            data2 = NamedSharding(self.mesh, P("data", None))
+            repl = NamedSharding(self.mesh, P())
+            return jax.jit(
+                forward,
+                in_shardings=(None, data4, data2, data),
+                out_shardings=None,
+            )
+        return jax.jit(forward)
+
+    def __call__(self, lr: jax.Array, captions: jax.Array,
+                 cap_lens: jax.Array) -> Dict[str, Any]:
+        return self._forward(self.variables, jnp.asarray(lr),
+                             jnp.asarray(captions), jnp.asarray(cap_lens))
+
+    def sr_uint8(self, lr, captions, cap_lens) -> np.ndarray:
+        """Final SR as uint8 (save-time clip, trainer_objective.py:153-155)."""
+        from tgsr_tpu.ops.image import denormalize_to_uint8
+
+        out = self(lr, captions, cap_lens)
+        return np.asarray(denormalize_to_uint8(out["sr"]))
+
+
+def _cast_floats(tree, dtype):
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )

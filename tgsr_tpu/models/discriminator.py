@@ -67,15 +67,18 @@ class DNet(nn.Module):
 
     def setup(self):
         ndf = self.ndf
-        downs = [
-            _Down(ndf, use_bn=False),
-            _Down(ndf * 2),
-            _Down(ndf * 4),
-            _Down(ndf * 8),
-        ]
+        # Downsample to a 4x4 cube: ndf -> 2ndf -> 4ndf -> 8ndf for the
+        # canonical 64px scale (AttnGAN encode_image_by_16times), with the
+        # channel ramp truncated for smaller test scales and extra
+        # down+3x3 pairs appended for larger ones.
+        downs = [_Down(ndf, use_bn=False)]
+        size = self.img_size // 2
+        mult = 1
+        while size > 4 and mult < 8:
+            mult *= 2
+            downs.append(_Down(ndf * mult))
+            size //= 2
         extra = []
-        size = self.img_size // 16
-        mult = 8
         while size > 4:
             extra.append(_Down(ndf * mult * 2))
             extra.append(_Block3x3LeakyRelu(ndf * mult))

@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers.
+
+The reference has no parallelism at all (single GPU, SURVEY.md 2.11). Here
+scaling is mesh-native: a `jax.sharding.Mesh` with ('data', 'model') axes;
+batch dims shard over 'data' (DP), wide channel/word dims may shard over
+'model' (TP demonstration -- the flagship model is ~1.2M params, so DP is
+the production axis). XLA emits the ICI collectives; no transport code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('data', 'model') mesh. Defaults to all devices on the data axis.
+
+    On a single chip this degenerates to a 1x1 mesh, keeping all sharded
+    code paths valid (jit with fully-replicated shardings).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+    )
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard axis 0 over 'data', replicate the rest."""
+    spec = P("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_batch(tree: Any, mesh: Mesh) -> Any:
+    """Shard every leaf's leading axis over 'data'."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree
+    )
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
+    """Pad a host batch so it divides the data axis; returns (padded, n_real)."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return np.pad(x, pad, mode="edge"), n
