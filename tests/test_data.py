@@ -1,0 +1,146 @@
+"""Data layer: tokenizer parity, caption encoding, CelebA attr parsing
+against the real reference artifacts, device preprocessing."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from tgsr_tpu.data.tokenizer import (
+    build_dictionary,
+    encode_caption,
+    tokenize_caption,
+)
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
+                               reason="reference not mounted")
+
+
+def test_tokenizer_matches_nltk_regexp():
+    nltk = pytest.importorskip("nltk")
+    from nltk.tokenize import RegexpTokenizer
+
+    tk = RegexpTokenizer(r"\w+")
+    for cap in [
+        "A bird with a RED head, and blue-ish wings!",
+        "this.is;punctuated?text 123 mixed_CASE",
+        "café résumé naïve",  # non-ascii filtered per-char
+    ]:
+        ref = []
+        for t in tk.tokenize(cap.lower()):
+            t = t.encode("ascii", "ignore").decode("ascii")
+            if t:
+                ref.append(t)
+        assert tokenize_caption(cap) == ref
+
+
+def test_encode_caption_pad_and_subsample():
+    toks, length = encode_caption([5, 3, 9], 6)
+    assert list(toks) == [5, 3, 9, 0, 0, 0]
+    assert length == 3
+    # longer than words_num: sorted random subsample, order preserved
+    rng = np.random.default_rng(0)
+    sent = list(range(1, 30))
+    toks, length = encode_caption(sent, 10, rng)
+    assert length == 10
+    assert list(toks) == sorted(toks, key=lambda v: sent.index(v))
+    assert all(t in sent for t in toks)
+
+
+def test_build_dictionary_semantics():
+    train = [["a", "bird", "red"], ["a", "blue", "bird"]]
+    test = [["red", "flower"]]
+    tr, te, vocab = build_dictionary(train, test)
+    assert vocab.ixtoword[0] == "<end>"
+    # insertion order over train+test
+    assert vocab.wordtoix["a"] == 1
+    assert vocab.wordtoix["bird"] == 2
+    assert vocab.wordtoix["red"] == 3
+    assert vocab.wordtoix["blue"] == 4
+    assert vocab.wordtoix["flower"] == 5
+    assert tr == [[1, 2, 3], [1, 4, 2]]
+    assert te == [[3, 5]]
+    assert vocab.n_words == 6
+
+
+@needs_ref
+def test_face_attr_parsing_matches_shipped_pickle(tmp_path):
+    """Parse the real testset.txt (CelebA attr format) and check the decoded
+    caption for 000155 matches the shipped testset.pickle tokens."""
+    from tgsr_tpu.data.datasets import TextFaceDataset
+
+    src = open(os.path.join(REF, "data/face/testset.txt")).read()
+    (tmp_path / "list_attr_celeba.txt").write_text(src)
+
+    train_caps, train_names = TextFaceDataset.load_attr_captions(
+        str(tmp_path), train=True)
+    test_caps, test_names = TextFaceDataset.load_attr_captions(
+        str(tmp_path), train=False)
+
+    with open(os.path.join(REF, "data/face/testset.pickle"), "rb") as f:
+        caps, ixtoword, wordtoix = pickle.load(f)
+    assert len(train_caps) + len(test_caps) == len(caps)
+
+    all_names = train_names + test_names
+    all_caps = train_caps + test_caps
+    i155 = all_names.index("000155.png")
+    expected = [ixtoword[t] for t in caps[0]]  # first pickle row = 000155
+    assert all_caps[i155] == expected
+
+
+def test_device_preprocess_contract():
+    from tgsr_tpu.data.pipeline import device_preprocess
+
+    hr = (np.random.default_rng(0).integers(0, 256, (2, 64, 64, 3))
+          .astype(np.uint8))
+    out = device_preprocess(hr, n_branches=4, base_size=8, with_blur=True)
+    sizes = [p.shape[1] for p in out["pyramid"]]
+    assert sizes == [8, 16, 32, 64]
+    assert out["lr"].shape == (2, 8, 8, 3)
+    assert [b.shape[1] for b in out["bic"]] == [8, 16, 32, 64]
+    assert len(out["blur_pyramid"]) == 4
+    # normalized domain
+    assert float(np.asarray(out["pyramid"][-1]).min()) >= -1.0 - 1e-5
+    assert float(np.asarray(out["pyramid"][-1]).max()) <= 1.0 + 1e-5
+
+
+@needs_ref
+def test_resize_close_to_pil():
+    """Antialiased jax resize vs PIL (the reference's preprocessing)."""
+    from PIL import Image
+
+    from tgsr_tpu.ops.image import resize
+
+    img = Image.open(os.path.join(REF, "data/face/000155.png")).convert("RGB")
+    arr = np.asarray(img, np.float32)[None]
+    for size, method, pil_m in [((32, 32), "bilinear", Image.BILINEAR),
+                                ((128, 128), "cubic", Image.BICUBIC)]:
+        ref = np.asarray(img.resize(size, pil_m), np.float32)
+        got = np.asarray(resize(arr, size, method))[0]
+        err = np.abs(ref - got).mean()
+        assert err < 1.5, f"{method} mean abs err {err} (0-255 scale)"
+
+
+@needs_ref
+def test_example_sr_dataset_with_real_pickle(tmp_path):
+    from tgsr_tpu.data.datasets import TextExampleSRDataset, prepare_batch
+
+    # stage a data dir with the one real image
+    import shutil
+
+    (tmp_path / "Img" / "changetxt_im1").mkdir(parents=True)
+    shutil.copy(os.path.join(REF, "data/face/000155.png"),
+                tmp_path / "Img" / "changetxt_im1" / "000155.png")
+    ds = TextExampleSRDataset(
+        str(tmp_path),
+        os.path.join(REF, "data/face/testset.pickle"),
+        imsize=256,
+    )
+    assert ds.n_words == 41
+    ex = ds.__getitem__(0, sent_ix=0)
+    assert ex.hr.shape == (256, 256, 3)
+    assert ex.length > 0
+    batch = prepare_batch([ex])
+    assert batch["captions"].shape == (1, 18)

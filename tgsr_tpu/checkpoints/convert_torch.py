@@ -187,6 +187,48 @@ def convert_text_encoder(sd: Mapping, rnn_type: str = "LSTM") -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_cnn_encoder(sd: Mapping, nef: int = 256) -> Dict[str, Any]:
+    """CNN_ENCODER state dict (util.py:263-368; backbone keys are the
+    torchvision inception_v3 names like Mixed_5b.branch1x1.{conv,bn}.*) ->
+    tgsr_tpu CNNEncoder variables.
+
+    Also accepts a bare torchvision inception_v3 zoo checkpoint (then only
+    the backbone converts; heads stay to be initialized).
+    """
+    params: Dict[str, Any] = {"inception": {}}
+    stats: Dict[str, Any] = {"inception": {}}
+
+    # group backbone keys by module path (everything up to .conv/.bn)
+    for k in sd:
+        if not (".conv.weight" in k or ".bn.weight" in k):
+            continue
+        if k.startswith(("emb_features", "emb_cnn_code", "fc.", "AuxLogits")):
+            continue
+        mod_path = k.rsplit(".", 2)[0]  # e.g. Mixed_5b.branch1x1
+        parts = mod_path.split(".")
+        p = params["inception"]
+        s = stats["inception"]
+        for part in parts[:-1]:
+            p = p.setdefault(part, {})
+            s = s.setdefault(part, {})
+        leaf = parts[-1]
+        if k.endswith(".conv.weight"):
+            p.setdefault(leaf, {})["conv"] = {"kernel": _conv(sd[k])}
+        else:  # .bn.weight
+            prefix = mod_path + ".bn"
+            p.setdefault(leaf, {})["bn"] = _bn_params(sd, prefix)
+            s.setdefault(leaf, {})["bn"] = _bn_stats(sd, prefix)
+
+    if "emb_features.weight" in sd:
+        w = _np(sd["emb_features.weight"])  # [nef, 768, 1, 1]
+        params["emb_features"] = {"kernel": w[:, :, 0, 0].T}
+        params["emb_cnn_code"] = {
+            "kernel": _dense(sd["emb_cnn_code.weight"]),
+            "bias": _np(sd["emb_cnn_code.bias"]),
+        }
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth state dict into numpy (torch CPU available in this env)."""
     import torch

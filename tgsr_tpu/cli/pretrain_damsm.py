@@ -1,0 +1,125 @@
+"""DAMSM pretraining entry point.
+
+= pretrain_DAMSM.py: config-driven joint training of the text/image
+encoders with per-epoch lr decay, grad clipping, periodic snapshots and
+attention-grid dumps.
+
+Usage:
+  python -m tgsr_tpu.cli.pretrain_damsm --cfg /root/reference/cfg/DAMSM/face.yml \
+      --data_dir <celeba_root> [--out_dir ../output] [--simple-cnn]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import pprint
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train DAMSM encoders")
+    parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--data_dir", default="")
+    parser.add_argument("--out_dir", default="../output")
+    parser.add_argument("--manualSeed", type=int, default=100)
+    parser.add_argument("--epochs", type=int, default=0,
+                        help="override cfg.TRAIN.MAX_EPOCH")
+    parser.add_argument("--simple-cnn", action="store_true",
+                        help="use the trainable SimpleCNNEncoder instead of "
+                             "Inception-v3 (no zoo weights needed)")
+    parser.add_argument("--inception_ckpt", default="",
+                        help="local torchvision inception_v3 .pth to load")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from tgsr_tpu.checkpoints.io import save_variables
+    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.data.datasets import TextDataset, TextFaceDataset
+    from tgsr_tpu.data.pipeline import BatchLoader
+    from tgsr_tpu.engine.damsm_trainer import DAMSMTrainer
+
+    cfg = config_from_file(args.cfg_file)
+    if args.data_dir:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, DATA_DIR=args.data_dir)
+    pprint.pprint(cfg)
+    np.random.seed(args.manualSeed)
+
+    # output dirs (= pretrain_DAMSM.py:221-229)
+    ts = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    out = os.path.join(args.out_dir,
+                       f"{cfg.DATASET_NAME}_DAMSM_{ts}")
+    model_dir = os.path.join(out, "Model")
+    os.makedirs(model_dir, exist_ok=True)
+
+    imsize = cfg.TREE.BASE_SIZE  # DAMSM configs: BRANCH_NUM=1, size 299
+    if cfg.DATASET_NAME == "face":
+        train_ds = TextFaceDataset(cfg.DATA_DIR, split="train",
+                                   words_num=cfg.TEXT.WORDS_NUM,
+                                   imsize=imsize)
+        val_ds = TextFaceDataset(cfg.DATA_DIR, split="test",
+                                 words_num=cfg.TEXT.WORDS_NUM, imsize=imsize)
+    else:
+        train_ds = TextDataset(cfg.DATA_DIR, split="train",
+                               words_num=cfg.TEXT.WORDS_NUM,
+                               embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE,
+                               imsize=imsize)
+        val_ds = TextDataset(cfg.DATA_DIR, split="test",
+                             words_num=cfg.TEXT.WORDS_NUM,
+                             embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE,
+                             imsize=imsize)
+
+    trainer = DAMSMTrainer(cfg, train_ds.n_words,
+                           use_inception=not args.simple_cnn)
+    state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
+                               image_size=imsize,
+                               batch_size=cfg.TRAIN.BATCH_SIZE)
+
+    if args.inception_ckpt:
+        from tgsr_tpu.checkpoints.convert_torch import (
+            convert_cnn_encoder, load_torch_state_dict)
+
+        conv = convert_cnn_encoder(load_torch_state_dict(args.inception_ckpt))
+        state = state.replace(
+            cnn_params={**state.cnn_params, **conv["params"]},
+            cnn_stats={**state.cnn_stats, **conv["batch_stats"]},
+        )
+        print("loaded inception backbone from", args.inception_ckpt)
+
+    train_loader = BatchLoader(train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True,
+                               seed=args.manualSeed)
+    val_loader = BatchLoader(val_ds, cfg.TRAIN.BATCH_SIZE, shuffle=False,
+                             deterministic_captions=True)
+
+    def snapshot(state, epoch):
+        # = text_encoder%d.pth / image_encoder%d.pth pairing
+        save_variables(os.path.join(model_dir, f"text_encoder{epoch}.msgpack"),
+                       {"params": state.text_params})
+        save_variables(os.path.join(model_dir, f"image_encoder{epoch}.msgpack"),
+                       {"params": state.cnn_params,
+                        "batch_stats": state.cnn_stats})
+        print(f"snapshot @ epoch {epoch} -> {model_dir}")
+
+    epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
+    try:
+        state, history = trainer.fit(
+            state, train_loader, val_loader, epochs=epochs,
+            rng=jax.random.PRNGKey(args.manualSeed),
+            snapshot_fn=snapshot,
+            snapshot_interval=cfg.TRAIN.SNAPSHOT_INTERVAL,
+        )
+        for h in history[-5:]:
+            print(h)
+    except KeyboardInterrupt:
+        # = pretrain_DAMSM.py:293-295
+        snapshot(state, -1)
+        print("interrupted; snapshot saved")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Evaluation / inference entry point.
+
+= test1.py + condGANTrainer.gen_exampleSRHL (trainer_objective.py:55-165):
+config-driven x8/x16 text-guided SR over an example test set, saving
+`<key>_SR.png` outputs and attention-grid visualizations.
+
+Usage (mirrors the reference UX):
+  python -m tgsr_tpu.cli.test --cfg /root/reference/cfg/eval_faceSR_attn2.yml \
+      --data_dir /root/reference/data/face --out_dir ./out [--batch 16]
+
+Differences from the reference, by design:
+  * batched + jitted on TPU instead of a per-image python loop
+  * netG/netGH checkpoint paths resolve against --ckpt_dir when the YAML's
+    relative paths don't exist (the reference hardcodes ../output/...)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import pprint
+import sys
+
+import numpy as np
+
+
+def gen_example_pickle(data_dir: str, vocab, namein: str = "testset.txt",
+                       namecp: str = "testset.pickle",
+                       dataset: str = "face",
+                       no_stopwords: bool = False,
+                       only_color: bool = False) -> str:
+    """= gen_examplePickle (test1.py:46-131): tokenize the example captions
+    with the TRAIN vocabulary and cache [caption_ids, ixtoword, wordtoix].
+    For the face dataset the caption source is the CelebA attribute table."""
+    from tgsr_tpu.data.tokenizer import tokenize_caption
+
+    out_path = os.path.join(data_dir, namecp)
+    if os.path.exists(out_path):
+        return out_path
+    caps_ids = []
+    src = os.path.join(data_dir, namein)
+    if dataset == "face":
+        from tgsr_tpu.data.datasets import TextFaceDataset
+        import shutil
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            shutil.copy(src, os.path.join(td, "list_attr_celeba.txt"))
+            caps_tr, _ = TextFaceDataset.load_attr_captions(td, True)
+            caps_te, _ = TextFaceDataset.load_attr_captions(td, False)
+        for toks in caps_tr + caps_te:
+            caps_ids.append([vocab.wordtoix[w] for w in toks
+                             if w in vocab.wordtoix])
+    else:
+        with open(src) as f:
+            names = [n for n in f.read().split("\n") if n]
+        for name in names:
+            with open(os.path.join(data_dir, f"{name}.txt")) as f:
+                caps = [c for c in f.read().split("\n") if c]
+            cnt = 0
+            for cap in caps:
+                toks = tokenize_caption(cap, no_stopwords, only_color)
+                if not toks:
+                    continue
+                caps_ids.append([vocab.wordtoix[w] for w in toks
+                                 if w in vocab.wordtoix])
+                cnt += 1
+                if cnt == 10:
+                    break
+    with open(out_path, "wb") as f:
+        pickle.dump([caps_ids, vocab.ixtoword, vocab.wordtoix], f, protocol=2)
+    return out_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TGSR-TPU eval")
+    parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--data_dir", default="")
+    parser.add_argument("--out_dir", default="./output_sr")
+    parser.add_argument("--ckpt_dir", default="",
+                        help="directory holding netG/netGH .pth files")
+    parser.add_argument("--text_encoder", default="",
+                        help="trained text-encoder weights (.pth or .msgpack)")
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--no-bf16", dest="bf16", action="store_false")
+    parser.add_argument("--manualSeed", type=int, default=100)  # test1.py:169
+    parser.add_argument("--savefile", default="testset")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.data.datasets import TextExampleSRDataset, prepare_batch
+    from tgsr_tpu.data.pipeline import BatchLoader
+    from tgsr_tpu.engine.inference import SRPipeline
+    from tgsr_tpu.utils.visualize import build_super_images_all
+
+    cfg = config_from_file(args.cfg_file)
+    if args.data_dir:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, DATA_DIR=args.data_dir)
+    pprint.pprint(cfg)
+    np.random.seed(args.manualSeed)
+
+    # caption pickle (built from the train vocab when absent)
+    cap_pickle = os.path.join(cfg.DATA_DIR, "testset.pickle")
+    if not os.path.exists(cap_pickle):
+        raise SystemExit(
+            f"{cap_pickle} not found; run gen_example_pickle with a train "
+            "vocabulary first")
+
+    ds = TextExampleSRDataset(cfg.DATA_DIR, cap_pickle,
+                              words_num=cfg.TEXT.WORDS_NUM,
+                              imsize=cfg.imsize)
+
+    # checkpoint resolution: YAML path, else --ckpt_dir
+    netg_path = cfg.TRAIN.NET_G
+    if not os.path.exists(netg_path) and args.ckpt_dir:
+        netg_path = os.path.join(args.ckpt_dir, "netG_epoch_7.pth")
+    if not os.path.exists(netg_path):
+        raise SystemExit(f"netG checkpoint not found: {netg_path}")
+
+    pipe = SRPipeline.from_reference_checkpoints(
+        cfg, ds.n_words, netg_path,
+        text_encoder_path=args.text_encoder or None,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        return_attn=True,
+        text_seed=args.manualSeed,
+    )
+
+    out_dir = os.path.join(args.out_dir, args.savefile)
+    att_dir = os.path.join(out_dir, "att")
+    os.makedirs(att_dir, exist_ok=True)
+
+    loader = BatchLoader(ds, min(args.batch, len(ds)), shuffle=False,
+                         drop_last=False, deterministic_captions=True)
+    n_done = 0
+    import jax
+
+    from tgsr_tpu.ops.image import normalize_uint8, resize
+
+    # one jitted degrade fn: eager ops on the axon platform pay a
+    # remote-compile round trip per op
+    @jax.jit
+    def degrade(hr_uint8):
+        return resize(normalize_uint8(hr_uint8),
+                      (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE), "bilinear")
+
+    for batch in loader.epoch(0):
+        lr = degrade(jnp.asarray(batch["hr"]))
+        out = pipe(lr, batch["captions"], batch["cap_lens"])
+        sr = np.asarray(out["sr"])
+        sr8 = np.round(np.clip((sr + 1) * 127.5, 0, 255)).astype(np.uint8)
+        attn0 = np.asarray(out["attn"][0])
+        for j, key in enumerate(batch["keys"]):
+            stem = os.path.splitext(key)[0]
+            Image.fromarray(sr8[j]).save(
+                os.path.join(out_dir, f"{stem}_SR.png"))
+            grid, _ = build_super_images_all(
+                sr8[j:j + 1], batch["captions"][j:j + 1],
+                [batch["cap_lens"][j]], ds.vocab.ixtoword,
+                attn0[j:j + 1], vis_size=attn0.shape[-1] * 2)
+            if grid is not None:
+                Image.fromarray(grid).save(
+                    os.path.join(att_dir, f"{stem}.png"))
+            n_done += 1
+        if n_done >= cfg.EVAL.TEXT_BATCH_NUM:
+            break
+    print(f"saved {n_done} SR images to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,449 @@
+"""Dataset adapters (host side: file discovery + caption indexing + decode).
+
+= datasets.py's nine dataset classes, re-architected for TPU: the host layer
+only decodes images and produces (hr_uint8, tokens, len, class_id, key);
+the pyramid / bicubic-LR / blur / normalize preprocessing moves on-device
+(tgsr_tpu.data.pipeline.device_preprocess), fused under jit, instead of the
+reference's per-worker PIL pipelines (datasets.py:112-278).
+
+No sort-by-length collate: the masked-scan text encoder removes the packed-
+sequence sorting requirement of prepare_data (datasets.py:33-68).
+
+Format contracts preserved:
+  TextDataset       -- text/<name>.txt captions, captions.pickle cache,
+                       filenames.pickle splits, class_info.pickle, CUB bbox
+                       crop (datasets.py:282-500)
+  TextFaceDataset   -- CelebA list_attr_celeba.txt; captions = names of
+                       attributes set to 1; train/test split on attribute 11
+                       (Blurry) == 0/1 (datasets.py:906-1143)
+  TextFlowerDataset -- Oxford-102 text_c10/class_*/ caption dirs, last 3
+                       files per class = test (datasets.py:1146-1345)
+  TextExampleSRDataset -- filename-list + prebuilt caption pickle eval set
+                       (datasets.py:1551-1688)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tgsr_tpu.data.tokenizer import (
+    Vocab,
+    build_dictionary,
+    encode_caption,
+    tokenize_caption,
+)
+
+
+def _load_image_rgb(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
+def _center_crop_resize(img: np.ndarray, size: int,
+                        enlarge: float = 1.0) -> np.ndarray:
+    """Resize shorter side to size*enlarge then center-crop size
+    (= transforms.Resize(int(imsize*72/64)) + CenterCrop(imsize),
+    datasets.py:1558-1561)."""
+    from PIL import Image
+
+    pil = Image.fromarray(img)
+    w, h = pil.size
+    target = int(size * enlarge)
+    scale = target / min(w, h)
+    pil = pil.resize((max(target, int(round(w * scale))),
+                      max(target, int(round(h * scale)))), Image.BILINEAR)
+    w, h = pil.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return np.asarray(pil.crop((left, top, left + size, top + size)), np.uint8)
+
+
+def bbox_crop(img: np.ndarray, bbox: Sequence[int]) -> np.ndarray:
+    """CUB bounding-box crop: 0.75-padded square around the box
+    (= get_imgs, datasets.py:115-123)."""
+    h, w = img.shape[:2]
+    r = int(np.maximum(bbox[2], bbox[3]) * 0.75)
+    cx = int((2 * bbox[0] + bbox[2]) / 2)
+    cy = int((2 * bbox[1] + bbox[3]) / 2)
+    y1, y2 = max(0, cy - r), min(h, cy + r)
+    x1, x2 = max(0, cx - r), min(w, cx + r)
+    return img[y1:y2, x1:x2]
+
+
+@dataclass
+class Example:
+    hr: np.ndarray  # [H, W, 3] uint8 (full-res, pre-pyramid)
+    tokens: np.ndarray  # [T] int
+    length: int
+    class_id: int
+    key: str
+
+
+class _CaptionDatasetBase:
+    """Shared caption/vocab machinery."""
+
+    filenames: List[str]
+    captions: List[List[int]]  # encoded; embeddings_num per image
+    vocab: Vocab
+    class_id: np.ndarray
+    embeddings_num: int = 1
+    words_num: int = 18
+    imsize: int = 256
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    @property
+    def n_words(self) -> int:
+        return self.vocab.n_words
+
+    def get_caption(self, sent_ix: int,
+                    rng: Optional[np.random.Generator] = None):
+        return encode_caption(self.captions[sent_ix], self.words_num, rng)
+
+    def _image(self, index: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def __getitem__(self, index: int,
+                    rng: Optional[np.random.Generator] = None,
+                    sent_ix: Optional[int] = None) -> Example:
+        rng = rng or np.random.default_rng()
+        if sent_ix is None:
+            # random caption per epoch (datasets.py:494); test protocols use
+            # caption 0 deterministically (datasets.py:893-896)
+            sent_ix = int(rng.integers(0, self.embeddings_num))
+        toks, length = self.get_caption(
+            index * self.embeddings_num + sent_ix, rng)
+        return Example(
+            hr=self._image(index),
+            tokens=toks.astype(np.int32),
+            length=length,
+            class_id=int(self.class_id[index]),
+            key=self.filenames[index],
+        )
+
+
+class TextDataset(_CaptionDatasetBase):
+    """AttnGAN-style dataset (bird/coco): per-image caption .txt files,
+    vocabulary cached in captions.pickle (= datasets.py:282-500)."""
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 words_num: int = 18, embeddings_num: int = 10,
+                 imsize: int = 256, no_stopwords: bool = False,
+                 only_color: bool = False,
+                 cache_name: str = "captions.pickle"):
+        self.data_dir = data_dir
+        self.split = split
+        self.words_num = words_num
+        self.embeddings_num = embeddings_num
+        self.imsize = imsize
+        self.no_stopwords = no_stopwords
+        self.only_color = only_color
+        self.bbox = (self._load_bbox()
+                     if data_dir.find("birds") != -1 else None)
+
+        train_names = self._load_filenames(data_dir, "train")
+        test_names = self._load_filenames(data_dir, "test")
+        cache = os.path.join(data_dir, cache_name)
+        if os.path.isfile(cache):
+            with open(cache, "rb") as f:
+                x = pickle.load(f)
+            train_caps, test_caps = x[0], x[1]
+            self.vocab = Vocab(x[2], x[3])
+        else:
+            train_tok = self._load_captions(data_dir, train_names)
+            test_tok = self._load_captions(data_dir, test_names)
+            train_caps, test_caps, self.vocab = build_dictionary(
+                train_tok, test_tok)
+            with open(cache, "wb") as f:
+                pickle.dump([train_caps, test_caps, self.vocab.ixtoword,
+                             self.vocab.wordtoix], f, protocol=2)
+        if split == "train":
+            self.filenames, self.captions = train_names, train_caps
+        else:
+            self.filenames, self.captions = test_names, test_caps
+        self.class_id = self._load_class_id(
+            os.path.join(data_dir, split), len(self.filenames))
+
+    def _load_bbox(self) -> Dict[str, List[int]]:
+        """= load_bbox (datasets.py:311-333), plain parsing (no pandas)."""
+        boxes, names = [], []
+        with open(os.path.join(self.data_dir,
+                               "CUB_200_2011/bounding_boxes.txt")) as f:
+            for line in f:
+                parts = line.split()
+                boxes.append([int(float(v)) for v in parts[1:5]])
+        with open(os.path.join(self.data_dir, "CUB_200_2011/images.txt")) as f:
+            for line in f:
+                names.append(line.split()[1])
+        return {n[:-4]: b for n, b in zip(names, boxes)}
+
+    def _load_captions(self, data_dir, filenames):
+        all_caps = []
+        for name in filenames:
+            with open(f"{data_dir}/text/{name}.txt", "rb") as f:
+                caps = f.read().decode("utf8").split("\n")
+            cnt = 0
+            for cap in caps:
+                if len(cap) == 0:
+                    continue
+                tokens = tokenize_caption(cap, self.no_stopwords,
+                                          self.only_color)
+                if not tokens:
+                    continue
+                all_caps.append(tokens)
+                cnt += 1
+                if cnt == self.embeddings_num:
+                    break
+        return all_caps
+
+    @staticmethod
+    def _load_filenames(data_dir, split):
+        path = f"{data_dir}/{split}/filenames.pickle"
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        return []
+
+    @staticmethod
+    def _load_class_id(split_dir, total):
+        path = os.path.join(split_dir, "class_info.pickle")
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                return np.asarray(pickle.load(f, encoding="iso-8859-1"))
+        return np.arange(total)
+
+    def _image(self, index):
+        key = self.filenames[index]
+        if self.bbox is not None:
+            img = _load_image_rgb(
+                f"{self.data_dir}/CUB_200_2011/images/{key}.jpg")
+            img = bbox_crop(img, self.bbox[key])
+        else:
+            img = _load_image_rgb(f"{self.data_dir}/images/{key}.jpg")
+        return _center_crop_resize(img, self.imsize, enlarge=76 / 64)
+
+
+class TextFaceDataset(_CaptionDatasetBase):
+    """CelebA attribute-caption dataset (= datasets.py:906-1143).
+
+    Captions = names of attributes set to 1 in list_attr_celeba.txt;
+    train/test split on attribute 11 (Blurry) == 0/1.
+    """
+
+    embeddings_num = 1
+
+    def __init__(self, data_dir: str, data_dirim: Optional[str] = None,
+                 split: str = "train", words_num: int = 18,
+                 imsize: int = 256,
+                 cache_name: str = "captions_face.pickle"):
+        self.data_dir = data_dir
+        self.data_dirim = data_dirim or data_dir
+        self.split = split
+        self.words_num = words_num
+        self.imsize = imsize
+
+        cache = os.path.join(data_dir, cache_name)
+        if os.path.isfile(cache):
+            with open(cache, "rb") as f:
+                x = pickle.load(f)
+            (train_caps, test_caps, ix2w, w2ix,
+             train_names, test_names) = x
+            self.vocab = Vocab(ix2w, w2ix)
+        else:
+            train_tok, train_names = self.load_attr_captions(data_dir, True)
+            test_tok, test_names = self.load_attr_captions(data_dir, False)
+            train_caps, test_caps, self.vocab = build_dictionary(
+                train_tok, test_tok)
+            with open(cache, "wb") as f:
+                pickle.dump([train_caps, test_caps, self.vocab.ixtoword,
+                             self.vocab.wordtoix, train_names, test_names],
+                            f, protocol=2)
+        if split == "train":
+            self.filenames, self.captions = train_names, train_caps
+        else:
+            self.filenames, self.captions = test_names, test_caps
+        self.class_id = np.arange(len(self.filenames))
+
+    @staticmethod
+    def load_attr_captions(data_dir: str, train: bool):
+        """Parse list_attr_celeba.txt (= load_captions,
+        datasets.py:934-961): header line of attribute names; per-image
+        tokens = attribute names set to '1'; split on attr[11] (Blurry)."""
+        all_caps, names = [], []
+        path = os.path.join(data_dir, "list_attr_celeba.txt")
+        with open(path) as f:
+            lines = f.readlines()
+        attr_list = lines[0].split(" ")[:-1]
+        for line in lines[1:]:
+            attr = line.split(" ")
+            if len(attr) < 2:
+                continue
+            is_test = attr[11] == "1"
+            if is_test == train:
+                continue
+            names.append(attr[0][:-3] + "png")
+            toks = [attr_list[i - 1] for i in range(1, len(attr))
+                    if attr[i] in ("1", "1\n")]
+            all_caps.append(toks)
+        return all_caps, names
+
+    def _image(self, index):
+        img = _load_image_rgb(
+            os.path.join(self.data_dirim, "Img", self.filenames[index]))
+        return _center_crop_resize(img, self.imsize, enlarge=72 / 64)
+
+
+class TextFlowerDataset(_CaptionDatasetBase):
+    """Oxford-102 (= datasets.py:1146-1345): per-class text_c10/class_*/
+    caption dirs; last 3 files per class are the test split."""
+
+    embeddings_num = 10
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 words_num: int = 18, imsize: int = 256,
+                 cache_name: str = "captions_flower.pickle"):
+        self.data_dir = data_dir
+        self.split = split
+        self.words_num = words_num
+        self.imsize = imsize
+        cache = os.path.join(data_dir, cache_name)
+        if os.path.isfile(cache):
+            with open(cache, "rb") as f:
+                x = pickle.load(f)
+            (train_caps, test_caps, ix2w, w2ix, train_names, test_names,
+             train_cls, test_cls) = x
+            self.vocab = Vocab(ix2w, w2ix)
+        else:
+            (train_tok, train_names, train_cls,
+             test_tok, test_names, test_cls) = self._scan(data_dir)
+            train_caps, test_caps, self.vocab = build_dictionary(
+                train_tok, test_tok)
+            with open(cache, "wb") as f:
+                pickle.dump([train_caps, test_caps, self.vocab.ixtoword,
+                             self.vocab.wordtoix, train_names, test_names,
+                             train_cls, test_cls], f, protocol=2)
+        if split == "train":
+            self.filenames, self.captions = train_names, train_caps
+            self.class_id = np.asarray(train_cls)
+        else:
+            self.filenames, self.captions = test_names, test_caps
+            self.class_id = np.asarray(test_cls)
+
+    def _scan(self, data_dir):
+        train_tok, train_names, train_cls = [], [], []
+        test_tok, test_names, test_cls = [], [], []
+        root = os.path.join(data_dir, "text_c10")
+        for cls_dir in sorted(os.listdir(root)):
+            m = re.match(r"class_(\d+)", cls_dir)
+            if not m:
+                continue
+            cls = int(m.group(1))
+            files = sorted(
+                f for f in os.listdir(os.path.join(root, cls_dir))
+                if f.endswith(".txt"))
+            for i, fn in enumerate(files):
+                is_test = i >= len(files) - 3  # last 3 per class = test
+                with open(os.path.join(root, cls_dir, fn), "rb") as f:
+                    caps = f.read().decode("utf8").split("\n")
+                toks = []
+                for cap in caps:
+                    if cap:
+                        t = tokenize_caption(cap)
+                        if t:
+                            toks.append(t)
+                    if len(toks) == self.embeddings_num:
+                        break
+                name = fn[:-4]
+                if is_test:
+                    test_tok.extend(toks)
+                    test_names.append(name)
+                    test_cls.append(cls)
+                else:
+                    train_tok.extend(toks)
+                    train_names.append(name)
+                    train_cls.append(cls)
+        return train_tok, train_names, train_cls, test_tok, test_names, test_cls
+
+    def _image(self, index):
+        img = _load_image_rgb(
+            f"{self.data_dir}/jpg/{self.filenames[index]}.jpg")
+        return _center_crop_resize(img, self.imsize, enlarge=76 / 64)
+
+
+class TextExampleSRDataset(_CaptionDatasetBase):
+    """Eval-set dataset driven by a filename list + prebuilt caption pickle
+    (= datasets.py:1551-1688). Used by the face x8 eval protocol with
+    testset.pickle (captions, ixtoword, wordtoix)."""
+
+    embeddings_num = 1
+
+    def __init__(self, data_dir: str, caption_pickle: str,
+                 image_subdir: str = "Img/changetxt_im1",
+                 filenames: Optional[List[str]] = None,
+                 words_num: int = 18, imsize: int = 256,
+                 meaningless: bool = False):
+        self.data_dir = data_dir
+        self.image_subdir = image_subdir
+        self.words_num = words_num
+        self.imsize = imsize
+        with open(caption_pickle, "rb") as f:
+            caps, ix2w, w2ix = pickle.load(f)
+        self.vocab = Vocab(ix2w, w2ix)
+        if meaningless:
+            # control experiment (= TextexampleSRDataset_meaningless,
+            # datasets.py:1888-1972): constant token-1 caption
+            caps = [[1] for _ in caps]
+        self.captions = caps
+        if filenames is None:
+            img_dir = os.path.join(data_dir, image_subdir)
+            attr_txt = os.path.join(data_dir, "testset.txt")
+            if os.path.isdir(img_dir):
+                filenames = sorted(os.listdir(img_dir))[: len(caps)]
+            elif os.path.isfile(attr_txt):
+                # derive image names from the attr table (caption order):
+                # train rows first, then test rows -- matching the caption
+                # pickle built by gen_example_pickle
+                with open(attr_txt) as f:
+                    lines = f.readlines()[1:]
+                tr, te = [], []
+                for line in lines:
+                    attr = line.split(" ")
+                    if len(attr) < 2:
+                        continue
+                    (te if attr[11] == "1" else tr).append(
+                        attr[0][:-3] + "png")
+                filenames = (tr + te)[: len(caps)]
+            else:
+                filenames = [f"{i:06d}.png" for i in range(len(caps))]
+        self.filenames = filenames
+        self.class_id = np.arange(len(self.filenames))
+
+    def _image(self, index):
+        path = os.path.join(self.data_dir, self.image_subdir,
+                            self.filenames[index])
+        if not os.path.exists(path):
+            path = os.path.join(self.data_dir, self.filenames[index])
+        img = _load_image_rgb(path)
+        return _center_crop_resize(img, self.imsize, enlarge=72 / 64)
+
+
+def prepare_batch(examples: Sequence[Example]) -> Dict[str, np.ndarray]:
+    """Collate host examples -> numpy batch. Replaces prepare_data
+    (datasets.py:33-68); no sort-by-length (the masked-scan encoder does
+    not require it), no per-field GPU moves (the jitted preprocess takes
+    the whole batch at once)."""
+    return {
+        "hr": np.stack([e.hr for e in examples]),
+        "captions": np.stack([e.tokens for e in examples]),
+        "cap_lens": np.asarray([e.length for e in examples], np.int32),
+        "class_ids": np.asarray([e.class_id for e in examples], np.int32),
+        "keys": [e.key for e in examples],
+    }

@@ -1,0 +1,235 @@
+"""DAMSM encoder pretraining engine.
+
+= pretrain_DAMSM.py: jointly trains the bi-LSTM text encoder and the CNN
+image encoder heads with the symmetric words+sentence contrastive losses.
+
+Faithful protocol details:
+  * Adam(lr, betas=(0.5, 0.999)) (pretrain_DAMSM.py:270)
+  * the reference RE-CREATES the optimizer every epoch with lr *= 0.98 down
+    to a floor of lr/10 (pretrain_DAMSM.py:269-284) -- reproduced here as an
+    optax schedule with reset-free Adam state (the moments survive in the
+    reference too, since only the lr changes... actually the reference
+    resets moments each epoch by reconstructing Adam; we preserve THAT
+    behavior via `reset_moments_each_epoch=True`)
+  * grad-clip 0.25 on the RNN parameters only (pretrain_DAMSM.py:96-97)
+  * loss = w_loss0 + w_loss1 + s_loss0 + s_loss1 (both directions)
+  * 50-batch validation loss (pretrain_DAMSM.py:133-163)
+
+TPU-native: one jitted train step; the CNN backbone freeze is a
+stop_gradient inside CNNEncoder, so the optimizer never materializes
+backbone moments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tgsr_tpu.config import Config
+from tgsr_tpu.losses.damsm import sent_loss, words_loss
+from tgsr_tpu.models.image_encoder import CNNEncoder, SimpleCNNEncoder
+from tgsr_tpu.models.text_encoder import TextEncoder
+
+
+class DAMSMState(struct.PyTreeNode):
+    step: jax.Array
+    text_params: Any
+    cnn_params: Any
+    cnn_stats: Any
+    opt_state: Any
+
+
+class DAMSMTrainer:
+    def __init__(self, cfg: Config, vocab_size: int,
+                 use_inception: bool = True, freeze_backbone: bool = True):
+        self.cfg = cfg
+        self.vocab_size = vocab_size
+        self.freeze_backbone = freeze_backbone and use_inception
+        self.text_encoder = TextEncoder(
+            vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
+            rnn_type=cfg.RNN_TYPE)
+        if use_inception:
+            self.cnn_encoder = CNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
+        else:
+            self.cnn_encoder = SimpleCNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
+        self.base_lr = cfg.TRAIN.ENCODER_LR
+        self.grad_clip = cfg.TRAIN.RNN_GRAD_CLIP
+        self._tx_cache: Dict[float, optax.GradientTransformation] = {}
+        self.train_step = self._build_train_step()
+        self.eval_step = self._build_eval_step()
+
+    def epoch_lr(self, epoch: int) -> float:
+        """lr *= 0.98 per epoch with floor lr/10 (pretrain_DAMSM.py:283-284)."""
+        lr = self.base_lr
+        for _ in range(epoch):
+            if lr > self.base_lr / 10.0:
+                lr *= 0.98
+        return lr
+
+    def _tx(self) -> optax.GradientTransformation:
+        # lr is injected per-step via inject_hyperparams so the jitted step
+        # doesn't recompile when the epoch lr changes
+        def make(lr):
+            return optax.adam(lr, b1=0.5, b2=0.999)
+
+        return optax.inject_hyperparams(make)(lr=self.base_lr)
+
+    def init_state(self, rng: jax.Array, image_size: int = 299,
+                   batch_size: int = 2) -> DAMSMState:
+        cfg = self.cfg
+        kt, kc = jax.random.split(rng)
+        captions = jnp.ones((batch_size, cfg.TEXT.WORDS_NUM), jnp.int32)
+        lens = jnp.full((batch_size,), cfg.TEXT.WORDS_NUM, jnp.int32)
+        tv = self.text_encoder.init(kt, captions, lens)
+        imgs = jnp.zeros((batch_size, image_size, image_size, 3))
+        if isinstance(self.cnn_encoder, CNNEncoder):
+            cv = self.cnn_encoder.init(kc, imgs,
+                                       freeze_backbone=self.freeze_backbone)
+        else:
+            cv = self.cnn_encoder.init(kc, imgs)
+        params = {"text": tv["params"], "cnn": cv["params"]}
+        tx = self._tx()
+        return DAMSMState(
+            step=jnp.zeros((), jnp.int32),
+            text_params=tv["params"],
+            cnn_params=cv["params"],
+            cnn_stats=cv.get("batch_stats", {}),
+            opt_state=tx.init(params),
+        )
+
+    def _apply_cnn(self, params, stats, imgs, train: bool):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        kw = {}
+        if isinstance(self.cnn_encoder, CNNEncoder):
+            kw["freeze_backbone"] = self.freeze_backbone
+        if train and stats:
+            (feat, code), upd = self.cnn_encoder.apply(
+                variables, imgs, train=True, mutable=["batch_stats"], **kw)
+            return feat, code, upd["batch_stats"]
+        feat, code = self.cnn_encoder.apply(variables, imgs, train=False, **kw)
+        return feat, code, stats
+
+    def _loss(self, params, stats, batch, train, dropout_rng=None):
+        cfg = self.cfg
+        feat, code, new_stats = self._apply_cnn(
+            params["cnn"], stats, batch["imgs"], train)
+        words, sent = self.text_encoder.apply(
+            {"params": params["text"]}, batch["captions"], batch["cap_lens"],
+            train=train,
+            rngs={"dropout": dropout_rng} if dropout_rng is not None else None,
+        )
+        g1, g2, g3 = (cfg.TRAIN.SMOOTH.GAMMA1, cfg.TRAIN.SMOOTH.GAMMA2,
+                      cfg.TRAIN.SMOOTH.GAMMA3)
+        w0, w1, attn = words_loss(feat, words, batch["cap_lens"],
+                                  batch.get("class_ids"), g1, g2, g3)
+        s0, s1 = sent_loss(code, sent, batch.get("class_ids"), g3)
+        total = w0 + w1 + s0 + s1
+        metrics = {"w_loss": w0 + w1, "s_loss": s0 + s1, "loss": total}
+        return total, (metrics, new_stats, attn)
+
+    def _build_train_step(self):
+        tx = self._tx()
+        clip = self.grad_clip
+
+        def step_fn(state: DAMSMState, batch, lr, rng):
+            params = {"text": state.text_params, "cnn": state.cnn_params}
+            (loss, (metrics, new_stats, _)), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(params, state.cnn_stats, batch,
+                                          True, rng)
+            # clip_grad_norm on RNN params only (pretrain_DAMSM.py:96-97)
+            tnorm = optax.global_norm(grads["text"])
+            scale = jnp.minimum(1.0, clip / jnp.maximum(tnorm, 1e-12))
+            grads = {"text": jax.tree.map(lambda g: g * scale, grads["text"]),
+                     "cnn": grads["cnn"]}
+            opt_state = state.opt_state
+            opt_state.hyperparams["lr"] = lr
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["rnn_grad_norm"] = tnorm
+            return state.replace(
+                step=state.step + 1,
+                text_params=params["text"],
+                cnn_params=params["cnn"],
+                cnn_stats=new_stats,
+                opt_state=opt_state,
+            ), metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def eval_fn(state: DAMSMState, batch):
+            params = {"text": state.text_params, "cnn": state.cnn_params}
+            _, (metrics, _, attn) = self._loss(params, state.cnn_stats,
+                                               batch, False)
+            return metrics, attn
+
+        return jax.jit(eval_fn)
+
+    def reset_optimizer(self, state: DAMSMState) -> DAMSMState:
+        """= the reference's per-epoch optimizer reconstruction
+        (pretrain_DAMSM.py:269-270), which zeroes the Adam moments."""
+        params = {"text": state.text_params, "cnn": state.cnn_params}
+        return state.replace(opt_state=self._tx().init(params))
+
+    # -- epoch driver ---------------------------------------------------------
+
+    def fit(self, state: DAMSMState, train_loader, val_loader=None,
+            epochs: int = 1, rng: Optional[jax.Array] = None,
+            log_every: int = 200, snapshot_fn: Optional[Callable] = None,
+            snapshot_interval: int = 0,
+            reset_moments_each_epoch: bool = True,
+            preprocess: Optional[Callable] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        history = []
+        for epoch in range(epochs):
+            lr = self.epoch_lr(epoch)
+            if reset_moments_each_epoch and epoch > 0:
+                state = self.reset_optimizer(state)
+            for i, batch in enumerate(train_loader.epoch(epoch)):
+                rng, sub = jax.random.split(rng)
+                db = self._device_batch(batch, preprocess)
+                state, metrics = self.train_step(state, db, lr, sub)
+                if log_every and i % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    history.append({"epoch": epoch, "it": i, "lr": lr, **m})
+            if val_loader is not None:
+                vloss = self.evaluate(state, val_loader, preprocess)
+                history.append({"epoch": epoch, "val": vloss})
+            if snapshot_fn and snapshot_interval and (
+                    epoch % snapshot_interval == 0 or epoch == epochs - 1):
+                snapshot_fn(state, epoch)
+        return state, history
+
+    def evaluate(self, state, val_loader, preprocess=None,
+                 max_batches: int = 50):
+        """50-batch val loss (= evaluate, pretrain_DAMSM.py:133-163)."""
+        tot, n = 0.0, 0
+        for i, batch in enumerate(val_loader.epoch(0)):
+            if i >= max_batches:
+                break
+            metrics, _ = self.eval_step(state, self._device_batch(batch,
+                                                                  preprocess))
+            tot += float(metrics["loss"])
+            n += 1
+        return tot / max(n, 1)
+
+    def _device_batch(self, batch, preprocess):
+        import numpy as np
+
+        if preprocess is not None:
+            imgs = preprocess(batch["hr"])
+        else:
+            imgs = batch["hr"].astype(np.float32) / 127.5 - 1.0
+        return {
+            "imgs": jnp.asarray(imgs),
+            "captions": jnp.asarray(batch["captions"]),
+            "cap_lens": jnp.asarray(batch["cap_lens"]),
+            "class_ids": jnp.asarray(batch["class_ids"]),
+        }

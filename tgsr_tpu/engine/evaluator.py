@@ -1,0 +1,74 @@
+"""Batched evaluation harness.
+
+The reference has no metrics script -- psnr/rgb2y helpers exist
+(trainer_objective.py:168-181) but nothing calls them. This harness runs the
+full on-device protocol: HR -> (antialiased) LR degrade -> SR -> Y-channel
+PSNR + SSIM vs HR, batched and jitted, over a dataset.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgsr_tpu.engine.inference import SRPipeline
+from tgsr_tpu.ops.image import (
+    denormalize_to_uint8,
+    normalize_uint8,
+    psnr_batch,
+    resize,
+    rgb2y,
+    ssim,
+)
+
+
+def evaluate_sr(
+    pipeline: SRPipeline,
+    batches: Iterable[Dict[str, np.ndarray]],
+    scale: Optional[int] = None,
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    """Runs the eval protocol over host batches ({hr uint8, captions,
+    cap_lens, ...}) and aggregates Y-channel PSNR (BT.601, the reference's
+    metric definition) + SSIM + throughput."""
+    import time
+
+    scale = scale or pipeline.cfg.scale
+
+    @jax.jit
+    def degrade(hr_uint8):
+        hr = normalize_uint8(hr_uint8)
+        h, w = hr.shape[1:3]
+        return resize(hr, (h // scale, w // scale), "bilinear")
+
+    @jax.jit
+    def metrics_fn(sr, hr_uint8):
+        sr8 = denormalize_to_uint8(sr)
+        y_sr = rgb2y(sr8).astype(jnp.float32)[..., None]
+        y_hr = rgb2y(hr_uint8).astype(jnp.float32)[..., None]
+        return psnr_batch(y_sr, y_hr), ssim(y_sr, y_hr)
+
+    psnrs: List[float] = []
+    ssims: List[float] = []
+    n = 0
+    t0 = time.perf_counter()
+    for batch in batches:
+        hr = jnp.asarray(batch["hr"])
+        lr = degrade(hr)
+        out = pipeline(lr, batch["captions"], batch["cap_lens"])
+        p, s = metrics_fn(out["sr"], hr)
+        psnrs.extend(np.asarray(p).tolist())
+        ssims.extend(np.asarray(s).tolist())
+        n += hr.shape[0]
+        if max_images and n >= max_images:
+            break
+    dt = time.perf_counter() - t0
+    return {
+        "psnr_y": float(np.mean(psnrs)) if psnrs else float("nan"),
+        "ssim_y": float(np.mean(ssims)) if ssims else float("nan"),
+        "images": n,
+        "images_per_sec": n / dt if dt > 0 else float("nan"),
+    }

@@ -163,11 +163,14 @@ class SRPipeline:
                              jnp.asarray(captions), jnp.asarray(cap_lens))
 
     def sr_uint8(self, lr, captions, cap_lens) -> np.ndarray:
-        """Final SR as uint8 (save-time clip, trainer_objective.py:153-155)."""
-        from tgsr_tpu.ops.image import denormalize_to_uint8
+        """Final SR as uint8 (save-time clip, trainer_objective.py:153-155).
 
+        Host-side numpy: eager jnp ops on the axon TPU platform pay a
+        remote-compile round trip per op, so postprocessing stays off-device.
+        """
         out = self(lr, captions, cap_lens)
-        return np.asarray(denormalize_to_uint8(out["sr"]))
+        sr = np.asarray(out["sr"])
+        return np.round(np.clip((sr + 1.0) * 127.5, 0, 255)).astype(np.uint8)
 
 
 def _cast_floats(tree, dtype):
