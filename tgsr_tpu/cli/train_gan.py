@@ -1,0 +1,136 @@
+"""Adversarial SR training entry point.
+
+The reference snapshot ships no GAN training loop (SURVEY.md 2.9); this
+entry drives the reconstructed trainer (tgsr_tpu.engine.gan_trainer) with
+the standard protocol the loss API implies: per-scale D steps + joint
+G(netG+netGH) step + KL + pixel MSE [+ DAMSM terms when encoders are
+given], G-EMA, periodic paired netG/netGH snapshots.
+
+Usage:
+  python -m tgsr_tpu.cli.train_gan --cfg <train yml> --data_dir <root> \
+      [--text_encoder Model/text_encoder200.msgpack] [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pprint
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train TGSR GAN")
+    parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--data_dir", default="")
+    parser.add_argument("--out_dir", default="../output/gan")
+    parser.add_argument("--text_encoder", default="",
+                        help="trained DAMSM text encoder (.msgpack/.pth)")
+    parser.add_argument("--image_encoder", default="",
+                        help="trained DAMSM image encoder (.msgpack)")
+    parser.add_argument("--epochs", type=int, default=0)
+    parser.add_argument("--manualSeed", type=int, default=100)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tgsr_tpu.checkpoints.io import load_variables, save_variables
+    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.data.datasets import TextFaceDataset, TextSRDataset
+    from tgsr_tpu.data.pipeline import BatchLoader, device_preprocess
+    from tgsr_tpu.engine.gan_trainer import GANTrainer
+    from tgsr_tpu.models.text_encoder import TextEncoder
+
+    cfg = config_from_file(args.cfg_file)
+    if args.data_dir:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, DATA_DIR=args.data_dir)
+    pprint.pprint(cfg)
+    np.random.seed(args.manualSeed)
+
+    if cfg.DATASET_NAME == "face":
+        ds = TextFaceDataset(cfg.DATA_DIR, split="train",
+                             words_num=cfg.TEXT.WORDS_NUM, imsize=cfg.imsize)
+    else:
+        ds = TextSRDataset(cfg.DATA_DIR, split="train",
+                           words_num=cfg.TEXT.WORDS_NUM,
+                           embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE,
+                           imsize=cfg.imsize)
+
+    enc = TextEncoder(vocab_size=ds.n_words, nhidden=cfg.TEXT.EMBEDDING_DIM,
+                      rnn_type=cfg.RNN_TYPE)
+    if args.text_encoder:
+        if args.text_encoder.endswith(".pth"):
+            from tgsr_tpu.checkpoints.convert_torch import (
+                convert_text_encoder, load_torch_state_dict)
+
+            text_vars = convert_text_encoder(
+                load_torch_state_dict(args.text_encoder), cfg.RNN_TYPE)
+        else:
+            text_vars = load_variables(args.text_encoder)
+    else:
+        print("WARNING: no trained text encoder given; using seeded init")
+        text_vars = enc.init(
+            jax.random.PRNGKey(args.manualSeed),
+            jnp.zeros((1, cfg.TEXT.WORDS_NUM), jnp.int32),
+            jnp.ones((1,), jnp.int32))
+
+    image_encoder_apply = None
+    if args.image_encoder:
+        from tgsr_tpu.models.image_encoder import CNNEncoder
+
+        cnn = CNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
+        cnn_vars = load_variables(args.image_encoder)
+
+        def image_encoder_apply(img):
+            return cnn.apply(cnn_vars, img)
+
+    trainer = GANTrainer(cfg, ds.n_words, text_vars,
+                         image_encoder_apply=image_encoder_apply)
+    state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
+                               batch_size=cfg.TRAIN.BATCH_SIZE)
+
+    loader = BatchLoader(ds, cfg.TRAIN.BATCH_SIZE, shuffle=True,
+                         seed=args.manualSeed)
+    model_dir = os.path.join(args.out_dir, "Model")
+    os.makedirs(model_dir, exist_ok=True)
+
+    rng = jax.random.PRNGKey(args.manualSeed + 1)
+    epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
+    it = 0
+    for epoch in range(epochs):
+        for batch in loader.epoch(epoch):
+            pre = device_preprocess(jnp.asarray(batch["hr"]),
+                                    cfg.TREE.BRANCH_NUM, cfg.TREE.BASE_SIZE,
+                                    with_blur=False)
+            db = {
+                "lr": pre["lr"],
+                "real_pyramid": pre["pyramid"][1:],
+                "captions": jnp.asarray(batch["captions"]),
+                "cap_lens": jnp.asarray(batch["cap_lens"]),
+                "class_ids": jnp.asarray(batch["class_ids"]),
+            }
+            state, metrics, rng = trainer.train_step(state, db, rng)
+            if it % 100 == 0:
+                print(f"epoch {epoch} it {it}: " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())))
+            it += 1
+            if cfg.TRAIN.SNAPSHOT_INTERVAL and \
+                    it % cfg.TRAIN.SNAPSHOT_INTERVAL == 0:
+                # paired netG/netGH snapshots (trainer_objective.py:91-93)
+                save_variables(
+                    os.path.join(model_dir, f"netG_it{it}.msgpack"),
+                    {"params": state.g_ema["netg"],
+                     "batch_stats": state.g_stats["netg"]})
+                save_variables(
+                    os.path.join(model_dir, f"netGH_it{it}.msgpack"),
+                    {"params": state.g_ema["netgh"],
+                     "batch_stats": state.g_stats["netgh"]})
+    print("training done;", it, "steps")
+
+
+if __name__ == "__main__":
+    main()

@@ -435,6 +435,96 @@ class TextExampleSRDataset(_CaptionDatasetBase):
         return _center_crop_resize(img, self.imsize, enlarge=72 / 64)
 
 
+class TextSRDataset(TextDataset):
+    """SR training dataset (= datasets.py:504-903): TextDataset machinery
+    with the captions5450.pickle cache name, optional stopword-filtered /
+    color-word-only caption variants (datasets.py:597-692), and the test
+    split pinned to caption 0 (datasets.py:893-896). The blur pyramids the
+    reference builds per-sample (get_imgs_blur) come from the fused
+    on-device preprocess (pipeline.device_preprocess(with_blur=True))."""
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 words_num: int = 18, embeddings_num: int = 10,
+                 imsize: int = 256, no_stopwords: bool = False,
+                 only_color: bool = False):
+        cache = "captions5450.pickle"
+        if no_stopwords:
+            cache = "captions5450_nostop.pickle"
+        if only_color:
+            cache = "captions5450_color.pickle"
+        super().__init__(data_dir, split, words_num, embeddings_num, imsize,
+                         no_stopwords, only_color, cache_name=cache)
+
+    def __getitem__(self, index, rng=None, sent_ix=None):
+        if self.split != "train" and sent_ix is None:
+            sent_ix = 0  # deterministic test caption (datasets.py:893-896)
+        return super().__getitem__(index, rng, sent_ix)
+
+
+class TextCocoDataset(TextDataset):
+    """COCO adapter (= datasets.py:1348-1548): train2014/val2014 images."""
+
+    def _image(self, index):
+        key = self.filenames[index]
+        sub = "train2014" if self.split == "train" else "val2014"
+        img = _load_image_rgb(f"{self.data_dir}/images/{sub}/{key}.jpg")
+        return _center_crop_resize(img, self.imsize, enlarge=76 / 64)
+
+
+class TextSRGTDataset(_CaptionDatasetBase):
+    """Pre-generated SR results + captions, for ranking/evaluation
+    (= datasets.py:1721-1885). Two caption formats:
+      face:  attr-table lines 'name|<attr flags>'
+      other: 'name|caption text' lines
+    """
+
+    embeddings_num = 1
+
+    def __init__(self, vocab: Vocab, data_dir: str, image_dir: str,
+                 txt: str = "testset.txt", dataset: str = "bird",
+                 words_num: int = 18, imsize: int = 256):
+        self.vocab = vocab
+        self.data_dir = data_dir
+        self.image_dir = image_dir
+        self.words_num = words_num
+        self.imsize = imsize
+        self.filenames: List[str] = []
+        raw_caps: List[List[str]] = []
+        path = os.path.join(data_dir, txt)
+        with open(path) as f:
+            lines = f.readlines()
+        if dataset == "face":
+            attr_list = lines[0].split(" ")[:-1]
+            for line in lines[1:]:
+                parts = line.split("|")
+                if len(parts) < 2:
+                    continue
+                self.filenames.append(parts[0])
+                attr = parts[1].split(" ")
+                raw_caps.append([attr_list[i - 1] for i in range(1, len(attr))
+                                 if attr[i] in ("1", "1\n")])
+        else:
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split("|")
+                self.filenames.append(parts[0])
+                raw_caps.append(tokenize_caption(parts[1] if len(parts) > 1
+                                                 else ""))
+        self.captions = [vocab.encode_tokens(t) for t in raw_caps]
+        self.class_id = np.arange(len(self.filenames))
+
+    def _image(self, index):
+        img = _load_image_rgb(os.path.join(self.image_dir,
+                                           self.filenames[index]))
+        # = transforms.CenterCrop(imsize) with no resize (datasets.py:1726)
+        h, w = img.shape[:2]
+        top = max(0, (h - self.imsize) // 2)
+        left = max(0, (w - self.imsize) // 2)
+        return img[top:top + self.imsize, left:left + self.imsize]
+
+
 def prepare_batch(examples: Sequence[Example]) -> Dict[str, np.ndarray]:
     """Collate host examples -> numpy batch. Replaces prepare_data
     (datasets.py:33-68); no sort-by-length (the masked-scan encoder does
