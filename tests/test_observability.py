@@ -1,0 +1,56 @@
+"""Aux subsystems: metrics logging, NaN guard, orbax save/restore."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgsr_tpu.utils.observability import MetricsLogger, StepTimer, nan_guard
+
+
+def test_metrics_logger(tmp_path):
+    m = MetricsLogger(str(tmp_path), "train")
+    m.log(0, loss=1.5, lr=2e-4)
+    m.log(1, loss=jnp.asarray(1.2))
+    m.close()
+    rows = [json.loads(l) for l in open(tmp_path / "train.jsonl")]
+    assert rows[0]["loss"] == 1.5
+    assert rows[1]["loss"] == pytest.approx(1.2)
+    assert rows[1]["step"] == 1
+
+
+def test_step_timer():
+    t = StepTimer()
+    assert t.tick() is None
+    assert t.tick() is not None
+
+
+def test_nan_guard_catches_nan():
+    def f(x):
+        return jnp.log(x)  # NaN for negative input
+
+    safe = nan_guard(f)
+    assert np.isfinite(float(safe(jnp.asarray(2.0))))
+    with pytest.raises(Exception):
+        safe(jnp.asarray(-1.0))
+
+
+def test_orbax_roundtrip(tmp_path):
+    from tgsr_tpu.checkpoints.orbax_io import (
+        latest_step,
+        restore_train_state,
+        save_train_state,
+    )
+
+    state = {"params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    d = str(tmp_path / "ckpt")
+    save_train_state(d, 7, state)
+    assert latest_step(d) == 7
+    restored, step = restore_train_state(d, jax.tree.map(np.asarray, state))
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(state["params"]["w"]))
