@@ -45,6 +45,7 @@ class SRPipeline:
         mesh: Optional[Mesh] = None,
         compute_dtype: jnp.dtype = jnp.float32,
         return_attn: bool = False,
+        fused_upsample: bool = False,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -63,11 +64,13 @@ class SRPipeline:
             self.netg = GSRNetLow(
                 ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
                 n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
+                fused_upsample=fused_upsample,
             )
         self.netgh = NetGHighWeight(
             ngf=cfg.GAN.GF_DIM,
             weightmap=cfg.EVAL.WEIGHTMAP,
             low=cfg.EVAL.INPUT_NETGH,
+            fused_upsample=fused_upsample,
         )
         self.variables = {
             "text": text_vars,

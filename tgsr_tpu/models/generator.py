@@ -68,6 +68,7 @@ class InitStageGImgUp(nn.Module):
     ngf: int = 32
     r_num: int = 2
     use_bn: bool = True
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(self, lr_img, words, mask, train: bool = False):
@@ -82,8 +83,11 @@ class InitStageGImgUp(nn.Module):
             h = ResBlock(self.ngf * 2, use_bn=self.use_bn, name=f"residual_{i}")(
                 h, train
             )
-        up = (UpBlock if self.use_bn else UpBlockNoBN)(self.ngf, name="upsample")
-        out = up(h, train) if self.use_bn else up(h)
+        if self.use_bn:
+            up = UpBlock(self.ngf, fused=self.fused_upsample, name="upsample")
+            out = up(h, train)
+        else:
+            out = UpBlockNoBN(self.ngf, name="upsample")(h)
         return out, attn
 
 
@@ -92,6 +96,7 @@ class NextStageG(nn.Module):
 
     ngf: int = 32
     r_num: int = 2
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(self, h_code, words, mask, train: bool = False):
@@ -99,7 +104,8 @@ class NextStageG(nn.Module):
         h = jnp.concatenate([h_code, c_code], axis=-1)
         for i in range(self.r_num):
             h = ResBlock(self.ngf * 2, name=f"residual_{i}")(h, train)
-        out = UpBlock(self.ngf, name="upsample")(h, train)
+        out = UpBlock(self.ngf, fused=self.fused_upsample,
+                      name="upsample")(h, train)
         return out, attn
 
 
@@ -132,6 +138,7 @@ class GSRNetLow(nn.Module):
     n_stages: int = 3
     r_num: int = 2
     use_tanh_heads: bool = False
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(
@@ -148,16 +155,16 @@ class GSRNetLow(nn.Module):
         att_maps: List[jax.Array] = []
         feats: List[jax.Array] = []
         _, mu, logvar = CANet(self.c_dim, name="ca_net")(sent_emb, rng)
-        h, att = InitStageGImgUp(self.ngf, self.r_num, name="h_net1")(
-            lr_img, words, mask, train
-        )
+        h, att = InitStageGImgUp(self.ngf, self.r_num,
+                                 fused_upsample=self.fused_upsample,
+                                 name="h_net1")(lr_img, words, mask, train)
         feats.append(h)
         fake_imgs.append(GetImageG(self.use_tanh_heads, name="img_net1")(h))
         att_maps.append(att)
         for s in range(2, self.n_stages + 1):
-            h, att = NextStageG(self.ngf, self.r_num, name=f"h_net{s}")(
-                h, words, mask, train
-            )
+            h, att = NextStageG(self.ngf, self.r_num,
+                                fused_upsample=self.fused_upsample,
+                                name=f"h_net{s}")(h, words, mask, train)
             feats.append(h)
             fake_imgs.append(
                 GetImageG(self.use_tanh_heads, name=f"img_net{s}")(h)

@@ -86,6 +86,7 @@ class NetGHighWeight(nn.Module):
     use_act: bool = True
     n_res: int = 6
     sizes: tuple = (64, 128, 256)  # weightmap spatial sizes (a1, a2, a3)
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(
@@ -124,15 +125,16 @@ class NetGHighWeight(nn.Module):
             weights = [a, a, a]
             ones = [1.0, 1.0, 1.0]
 
-        out = UpBlock(self.ngf, name="upscale2x")(out, train)
+        fu = self.fused_upsample
+        out = UpBlock(self.ngf, fused=fu, name="upscale2x")(out, train)
         ims2 = ones[0] * conv_output(out) + weights[0] * srb[0]
 
         out = _ResidualSeq(self.ngf, name="residual24")(out, train)
-        out = UpBlock(self.ngf, name="upscale4x")(out, train)
+        out = UpBlock(self.ngf, fused=fu, name="upscale4x")(out, train)
         ims4 = ones[1] * conv_output(out) + weights[1] * srb[1]
 
         out = _ResidualSeq(self.ngf, name="residual48")(out, train)
-        out = UpBlock(self.ngf, name="upscale8x")(out, train)
+        out = UpBlock(self.ngf, fused=fu, name="upscale8x")(out, train)
         ims8 = ones[2] * conv_output(out) + weights[2] * srb[2]
 
         a_last = weights[2] if self.weightmap else weights[2]

@@ -121,17 +121,51 @@ def batch_norm(train: bool, name: str = "bn") -> nn.BatchNorm:
     )
 
 
+class _Conv3x3Kernel(nn.Module):
+    """Holds a canonical 3x3 HWIO kernel under <name>/kernel so fused and
+    plain execution paths share the same checkpoint layout."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.out_features))
+
+
 class UpBlock(nn.Module):
-    """nearest x2 -> conv3x3(in -> 2*out) -> BN -> GLU (= util.py:74-80)."""
+    """nearest x2 -> conv3x3(in -> 2*out) -> BN -> GLU (= util.py:74-80).
+
+    With `fused=True` the upsample+conv computes as an algebraically
+    identical 2x2 conv at the SOURCE resolution + depth_to_space
+    (0.44x FLOPs, MXU-friendlier shape; see ops/fused_upsample.py). The
+    parameter stays the canonical 3x3 kernel, so checkpoints convert the
+    same either way; the kernel transform folds at compile time.
+    """
 
     out_features: int
     use_bn: bool = True
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = upsample_nearest2x(x)
-        x = nn.Conv(self.out_features * 2, (3, 3), use_bias=False,
-                    padding="SAME", name="conv")(x)
+        kernel = _Conv3x3Kernel(x.shape[-1], self.out_features * 2,
+                                name="conv")()
+        if self.fused:
+            from tgsr_tpu.ops.fused_upsample import (
+                fuse_upconv_kernel_jnp,
+                upconv2x_fused,
+            )
+
+            x = upconv2x_fused(x, fuse_upconv_kernel_jnp(
+                kernel.astype(x.dtype)))
+        else:
+            x = upsample_nearest2x(x)
+            x = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bn:
             x = batch_norm(train)(x)
         return glu(x)
