@@ -1,0 +1,54 @@
+"""Data-parallel mesh inference: sharded batch == unsharded results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgsr_tpu.config import Config
+from tgsr_tpu.engine.inference import SRPipeline
+from tgsr_tpu.models.generator import GSRNetLow
+from tgsr_tpu.models.generator_hf import NetGHighWeight
+from tgsr_tpu.models.text_encoder import TextEncoder
+from tgsr_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def _build(cfg, mesh=None):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=4, BASE_SIZE=16),
+        GAN=dataclasses.replace(cfg.GAN, GF_DIM=32),
+    )
+    vocab, T, B = 41, 18, 8
+    k = jax.random.PRNGKey(0)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    caps = jnp.ones((B, T), jnp.int32)
+    lens = jnp.full((B,), 5, jnp.int32)
+    tv = enc.init(k, caps, lens)
+    words, sent = enc.apply(tv, caps, lens)
+    lr = jax.random.normal(k, (B, 16, 16, 3)) * 0.3
+    netg = GSRNetLow(ngf=32, n_stages=3)
+    gv = netg.init(k, lr, sent, words, caps == 0)
+    fake, *_ = netg.apply(gv, lr, sent, words, caps == 0)
+    netgh = NetGHighWeight(ngf=32, low="lr", sizes=(32, 64, 128))
+    ghv = netgh.init(k, lr, fake, lr)
+    pipe = SRPipeline(cfg, vocab, tv, gv, ghv, mesh=mesh)
+    return pipe, np.asarray(lr), np.asarray(caps), np.asarray(lens)
+
+
+def test_mesh_sharded_equals_single():
+    assert len(jax.devices()) >= 8, "conftest forces 8 CPU devices"
+    cfg = Config()
+    pipe_single, lr, caps, lens = _build(cfg, mesh=None)
+    out_single = np.asarray(pipe_single(lr, caps, lens)["sr"])
+
+    mesh = make_mesh(n_data=8)
+    pipe_mesh, _, _, _ = _build(cfg, mesh=mesh)
+    # same variables for apples-to-apples
+    pipe_mesh.variables = pipe_single.variables
+    batch = shard_batch({"lr": lr, "captions": caps, "cap_lens": lens}, mesh)
+    out_mesh = np.asarray(
+        pipe_mesh(batch["lr"], batch["captions"], batch["cap_lens"])["sr"])
+    np.testing.assert_allclose(out_single, out_mesh, rtol=2e-4, atol=2e-4)

@@ -15,6 +15,12 @@ imply, TPU-native:
     pyramids
   * mesh-ready: the step is pure; batch shards over 'data', params replicate
     (or shard over 'model' for TP) via NamedSharding on the jit
+
+Numerical note: train-mode BatchNorm backward multiplies incoming gradients
+by rsqrt(var + eps); at an exactly-constant (zero-variance) input image the
+~18 stacked BNs amplify by rsqrt(1e-5)^18 ~ 1e45 -> inf -> NaN. Real images
+never have zero variance (torch behaves identically); synthetic smoke tests
+must use noise, not constant tensors.
 """
 
 from __future__ import annotations
