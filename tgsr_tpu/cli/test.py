@@ -87,6 +87,9 @@ def main(argv=None):
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     parser.add_argument("--manualSeed", type=int, default=100)  # test1.py:169
     parser.add_argument("--savefile", default="testset")
+    parser.add_argument("--metrics", action="store_true",
+                        help="also run the batched eval harness (on-device "
+                             "degrade -> SR -> Y-PSNR/SSIM) and print JSON")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -106,12 +109,38 @@ def main(argv=None):
     pprint.pprint(cfg)
     np.random.seed(args.manualSeed)
 
-    # caption pickle (built from the train vocab when absent)
+    # caption pickle; when absent, build it from the train vocabulary the
+    # way test1.py does (gen_examplePickle, test1.py:46-131). For the face
+    # dataset the vocabulary comes from the attribute table itself.
     cap_pickle = os.path.join(cfg.DATA_DIR, "testset.pickle")
     if not os.path.exists(cap_pickle):
-        raise SystemExit(
-            f"{cap_pickle} not found; run gen_example_pickle with a train "
-            "vocabulary first")
+        src = os.path.join(cfg.DATA_DIR, "testset.txt")
+        if not os.path.exists(src):
+            raise SystemExit(f"{cap_pickle} not found and no testset.txt to "
+                             "build it from")
+        if cfg.DATASET_NAME == "face":
+            import shutil
+            import tempfile
+
+            from tgsr_tpu.data.datasets import TextFaceDataset
+            from tgsr_tpu.data.tokenizer import build_dictionary
+
+            with tempfile.TemporaryDirectory() as td:
+                shutil.copy(src, os.path.join(td, "list_attr_celeba.txt"))
+                tr, _ = TextFaceDataset.load_attr_captions(td, True)
+                te, _ = TextFaceDataset.load_attr_captions(td, False)
+            _, _, vocab = build_dictionary(tr, te)
+        else:
+            from tgsr_tpu.data.datasets import TextSRDataset
+
+            train_ds = TextSRDataset(cfg.DATA_DIR, split="train",
+                                     words_num=cfg.TEXT.WORDS_NUM,
+                                     embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE)
+            vocab = train_ds.vocab
+        cap_pickle = gen_example_pickle(
+            cfg.DATA_DIR, vocab, dataset=cfg.DATASET_NAME,
+            no_stopwords=cfg.EVAL.NO_STOPWORD, only_color=cfg.EVAL.ONLY_COLOR)
+        print("generated", cap_pickle)
 
     ds = TextExampleSRDataset(cfg.DATA_DIR, cap_pickle,
                               words_num=cfg.TEXT.WORDS_NUM,
@@ -171,6 +200,18 @@ def main(argv=None):
         if n_done >= cfg.EVAL.TEXT_BATCH_NUM:
             break
     print(f"saved {n_done} SR images to {out_dir}")
+
+    if args.metrics:
+        import json
+
+        from tgsr_tpu.engine.evaluator import evaluate_sr
+
+        mloader = BatchLoader(ds, min(args.batch, len(ds)), shuffle=False,
+                              drop_last=False, deterministic_captions=True)
+        m = evaluate_sr(pipe, mloader.epoch(0),
+                        max_images=cfg.EVAL.TEXT_BATCH_NUM)
+        print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                          for k, v in m.items()}))
 
 
 if __name__ == "__main__":
