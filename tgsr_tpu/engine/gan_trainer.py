@@ -89,7 +89,22 @@ class GANTrainer:
 
     # -- init -----------------------------------------------------------------
 
-    def init_state(self, rng: jax.Array, batch_size: int = 2) -> GANTrainState:
+    def init_state(self, rng: jax.Array, batch_size: int = 2,
+                   init_on_cpu: bool = True) -> GANTrainState:
+        """Model/optimizer init. `init_on_cpu` runs the 5 module inits on the
+        host CPU backend (when present) and transfers the trees once --
+        avoiding 5 separate accelerator compiles, which on a remote-compile
+        TPU stack cost minutes of startup."""
+        if init_on_cpu:
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None and cpu.platform != jax.devices()[0].platform:
+                with jax.default_device(cpu):
+                    state = self.init_state(rng, batch_size,
+                                            init_on_cpu=False)
+                return jax.device_put(state, jax.devices()[0])
         cfg = self.cfg
         kg, kgh, kt, *kd = jax.random.split(rng, 3 + len(self.dnets))
         lr = jnp.zeros((batch_size, cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE, 3))

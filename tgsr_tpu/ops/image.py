@@ -78,6 +78,33 @@ def degrade_and_bicubic(hr: jax.Array, scale: int,
     return lr, bic
 
 
+def crop_to_scale_multiple(img: jax.Array, scale: int) -> jax.Array:
+    """Crop H, W down to multiples of `scale` (= get_imgsexampletest,
+    datasets.py:200-233: arbitrary-size eval images are truncated so the
+    LR degrade divides exactly)."""
+    h, w = img.shape[1:3]
+    return img[:, : (h // scale) * scale, : (w // scale) * scale]
+
+
+def bucket_shape(h: int, w: int, scale: int, bucket: int = 64) -> Tuple[int, int]:
+    """Round (h, w) UP to multiples of `bucket` (itself a multiple of scale)
+    so arbitrary-size eval reuses a bounded set of compiled programs
+    (the XLA answer to the reference's fully dynamic example-test shapes)."""
+    bucket = max(bucket, scale)
+    bh = -(-h // bucket) * bucket
+    bw = -(-w // bucket) * bucket
+    return bh, bw
+
+
+def pad_to(img: jax.Array, h: int, w: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Edge-pad NHWC image up to (h, w); returns (padded, original (h, w))."""
+    oh, ow = img.shape[1:3]
+    return (
+        jnp.pad(img, ((0, 0), (0, h - oh), (0, w - ow), (0, 0)), mode="edge"),
+        (oh, ow),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gaussian blur (= PIL ImageFilter.GaussianBlur(radius=2), datasets.py:186)
 # ---------------------------------------------------------------------------
