@@ -93,8 +93,12 @@ def main(argv=None):
 
     train_loader = BatchLoader(train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True,
                                seed=args.manualSeed)
-    val_loader = BatchLoader(val_ds, cfg.TRAIN.BATCH_SIZE, shuffle=False,
+    val_loader = BatchLoader(val_ds, min(cfg.TRAIN.BATCH_SIZE, len(val_ds)),
+                             shuffle=False, drop_last=False,
                              deterministic_captions=True)
+
+    image_dir = os.path.join(out, "Image")
+    os.makedirs(image_dir, exist_ok=True)
 
     def snapshot(state, epoch):
         # = text_encoder%d.pth / image_encoder%d.pth pairing
@@ -104,6 +108,30 @@ def main(argv=None):
                        {"params": state.cnn_params,
                         "batch_stats": state.cnn_stats})
         print(f"snapshot @ epoch {epoch} -> {model_dir}")
+        # attention-grid dump (= pretrain_DAMSM.py:100-129 build_super_images)
+        try:
+            import numpy as np
+            from PIL import Image
+
+            from tgsr_tpu.utils.visualize import build_super_images
+
+            batch = next(val_loader.epoch(0), None)
+            if batch is None:
+                batch = next(train_loader.epoch(0))
+            db = trainer._device_batch(batch, None)
+            _, attn = trainer.eval_step(state, db)
+            r = int(np.sqrt(attn.shape[-1]))
+            attn_maps = np.asarray(attn).reshape(
+                attn.shape[0], attn.shape[1], r, r)
+            grid, _ = build_super_images(
+                batch["hr"][:4], batch["captions"][:4],
+                batch["cap_lens"][:4], train_ds.vocab.ixtoword,
+                attn_maps[:4], vis_size=128, top_k=5)
+            if grid is not None:
+                Image.fromarray(grid).save(
+                    os.path.join(image_dir, f"attention_maps{epoch}.png"))
+        except Exception as e:  # viz must never kill training
+            print(f"attention dump failed: {type(e).__name__}: {e}")
 
     epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
     try:

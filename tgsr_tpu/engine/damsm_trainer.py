@@ -218,7 +218,7 @@ class DAMSMTrainer:
                                                                   preprocess))
             tot += float(metrics["loss"])
             n += 1
-        return tot / max(n, 1)
+        return tot / n if n else float("nan")
 
     def _device_batch(self, batch, preprocess):
         import numpy as np
