@@ -31,6 +31,9 @@ def main(argv=None):
                         help="trained DAMSM image encoder (.msgpack)")
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--manualSeed", type=int, default=100)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest orbax checkpoint under "
+                             "--out_dir/ckpt")
     args = parser.parse_args(argv)
 
     import jax
@@ -97,10 +100,23 @@ def main(argv=None):
                          seed=args.manualSeed)
     model_dir = os.path.join(args.out_dir, "Model")
     os.makedirs(model_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.out_dir, "ckpt")
+
+    from tgsr_tpu.checkpoints.orbax_io import (
+        latest_step, restore_train_state, save_train_state)
+    from tgsr_tpu.utils.observability import MetricsLogger, StepTimer
+
+    start_step = 0
+    if args.resume and latest_step(ckpt_dir) is not None:
+        state, start_step = restore_train_state(ckpt_dir, state)
+        print(f"resumed from step {start_step}")
+
+    logger = MetricsLogger(os.path.join(args.out_dir, "Log"))
+    timer = StepTimer()
 
     rng = jax.random.PRNGKey(args.manualSeed + 1)
     epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
-    it = 0
+    it = start_step
     for epoch in range(epochs):
         for batch in loader.epoch(epoch):
             pre = device_preprocess(jnp.asarray(batch["hr"]),
@@ -114,9 +130,12 @@ def main(argv=None):
                 "class_ids": jnp.asarray(batch["class_ids"]),
             }
             state, metrics, rng = trainer.train_step(state, db, rng)
+            ema_ms = timer.tick()
             if it % 100 == 0:
                 print(f"epoch {epoch} it {it}: " + " ".join(
-                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())))
+                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
+                    + (f" [{ema_ms:.0f} ms/step]" if ema_ms else ""))
+                logger.log(it, **{k: v for k, v in metrics.items()})
             it += 1
             if cfg.TRAIN.SNAPSHOT_INTERVAL and \
                     it % cfg.TRAIN.SNAPSHOT_INTERVAL == 0:
@@ -129,7 +148,9 @@ def main(argv=None):
                     os.path.join(model_dir, f"netGH_it{it}.msgpack"),
                     {"params": state.g_ema["netgh"],
                      "batch_stats": state.g_stats["netgh"]})
-    print("training done;", it, "steps")
+                save_train_state(ckpt_dir, it, state)
+    save_train_state(ckpt_dir, max(it, 1), state)
+    print("training done;", it, "steps; checkpoints in", ckpt_dir)
 
 
 if __name__ == "__main__":
