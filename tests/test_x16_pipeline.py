@@ -1,0 +1,121 @@
+"""x16 path through SRPipeline + the x16 checkpoint converter."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgsr_tpu.config import Config
+from tgsr_tpu.engine.inference import SRPipeline
+from tgsr_tpu.models.models16 import GSRNetLow16
+from tgsr_tpu.models.text_encoder import TextEncoder
+
+
+def _cfg16(base=16):
+    cfg = Config()
+    return dataclasses.replace(
+        cfg,
+        METHOD="S16",
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=5, BASE_SIZE=base),
+        GAN=dataclasses.replace(cfg.GAN, GF_DIM=32),
+    )
+
+
+def test_srpipeline_branch5_uses_models16():
+    cfg = _cfg16()
+    vocab, B, T = 41, 2, 18
+    k = jax.random.PRNGKey(0)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    caps = jnp.ones((B, T), jnp.int32)
+    lens = jnp.full((B,), 6, jnp.int32)
+    tv = enc.init(k, caps, lens)
+    words, sent = enc.apply(tv, caps, lens)
+    lr = jax.random.normal(k, (B, 16, 16, 3)) * 0.3
+
+    from tgsr_tpu.models.models16 import NetGHighWeight16
+
+    netg = GSRNetLow16(ngf=32)
+    gv = netg.init(k, lr, sent, words, caps == 0)
+    fake, *_ = netg.apply(gv, lr, sent, words, caps == 0)
+    netgh = NetGHighWeight16(ngf=32, low="lr", sizes=(32, 64, 128, 256))
+    ghv = netgh.init(k, lr, fake, lr)
+
+    pipe = SRPipeline(cfg, vocab, tv, gv, ghv)
+    assert isinstance(pipe.netg, GSRNetLow16)
+    out = pipe(np.asarray(lr), np.asarray(caps), np.asarray(lens))
+    assert out["sr"].shape == (B, 256, 256, 3)  # x16: 16 -> 256
+    assert np.isfinite(np.asarray(out["sr"])).all()
+
+
+def _synthetic_x16_netg_sd(rng):
+    """Torch-layout x16 G state dict (aliased h_net2..4 / img_net1..4)."""
+    sd = {}
+    sd["ca_net.fc.weight"] = rng.normal(0, 0.1, (400, 256)).astype(np.float32)
+    sd["ca_net.fc.bias"] = np.zeros((400,), np.float32)
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = np.ones((c,), np.float32)
+        sd[f"{prefix}.bias"] = np.zeros((c,), np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros((c,), np.float32)
+        sd[f"{prefix}.running_var"] = np.ones((c,), np.float32)
+
+    def add_resblock(prefix, c):
+        sd[f"{prefix}.0.weight"] = rng.normal(0, 0.05, (2 * c, c, 3, 3)).astype(np.float32)
+        add_bn(f"{prefix}.1", 2 * c)
+        sd[f"{prefix}.3.weight"] = rng.normal(0, 0.05, (c, c, 3, 3)).astype(np.float32)
+        add_bn(f"{prefix}.4", c)
+
+    # h_net1 (InitStageGImgup)
+    sd["h_net1.att.conv_context.weight"] = rng.normal(
+        0, 0.05, (32, 256, 1, 1)).astype(np.float32)
+    sd["h_net1.im2f.0.weight"] = rng.normal(0, 0.05, (64, 3, 3, 3)).astype(np.float32)
+    add_bn("h_net1.im2f.1", 64)
+    for j in range(2):
+        add_resblock(f"h_net1.residual.{j}.block", 64)
+    sd["h_net1.upsample.1.weight"] = rng.normal(0, 0.05, (64, 64, 3, 3)).astype(np.float32)
+    add_bn("h_net1.upsample.2", 64)
+
+    # shared next stage, stored under aliased names (torch saves all aliases)
+    shared = {}
+    shared["att.conv_context.weight"] = rng.normal(
+        0, 0.05, (32, 256, 1, 1)).astype(np.float32)
+    for name in ("h_net2", "h_net3", "h_net4"):
+        sd[f"{name}.att.conv_context.weight"] = shared["att.conv_context.weight"]
+    for j in range(2):
+        w1 = rng.normal(0, 0.05, (128, 64, 3, 3)).astype(np.float32)
+        w2 = rng.normal(0, 0.05, (64, 64, 3, 3)).astype(np.float32)
+        for name in ("h_net2", "h_net3", "h_net4"):
+            sd[f"{name}.residual.{j}.block.0.weight"] = w1
+            add_bn(f"{name}.residual.{j}.block.1", 128)
+            sd[f"{name}.residual.{j}.block.3.weight"] = w2
+            add_bn(f"{name}.residual.{j}.block.4", 64)
+    wup = rng.normal(0, 0.05, (64, 64, 3, 3)).astype(np.float32)
+    for name in ("h_net2", "h_net3", "h_net4"):
+        sd[f"{name}.upsample.1.weight"] = wup
+        add_bn(f"{name}.upsample.2", 64)
+    whead = rng.normal(0, 0.05, (3, 32, 3, 3)).astype(np.float32)
+    for name in ("img_net1", "img_net2", "img_net3", "img_net4"):
+        sd[f"{name}.img.0.weight"] = whead
+    return sd
+
+
+def test_convert_netg_low16_loads():
+    from tgsr_tpu.checkpoints.convert_torch import convert_netg_low16
+
+    rng = np.random.default_rng(0)
+    sd = _synthetic_x16_netg_sd(rng)
+    variables = convert_netg_low16(sd)
+    m = GSRNetLow16(ngf=32)
+    B, T = 1, 6
+    lr = jnp.zeros((B, 16, 16, 3))
+    words = jnp.zeros((B, T, 256))
+    sent = jnp.zeros((B, 256))
+    mask = jnp.zeros((B, T), bool)
+    fake, atts, mu, logvar = m.apply(variables, lr, sent, words, mask)
+    assert [f.shape[1] for f in fake] == [32, 64, 128, 256]
+    # converted tree matches the module's expected param structure
+    ref = m.init(jax.random.PRNGKey(0), lr, sent, words, mask)
+    a = jax.tree.structure(ref["params"])
+    b = jax.tree.structure(variables["params"])
+    assert a == b, f"{a}\n!=\n{b}"

@@ -187,6 +187,52 @@ def convert_text_encoder(sd: Mapping, rnn_type: str = "LSTM") -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_netg_low16(sd: Mapping) -> Dict[str, Any]:
+    """models16 G_SR_NET_low .pth -> GSRNetLow16 variables.
+
+    The torch state dict carries h_net2/h_net3/h_net4 (and img_net1..4) key
+    sets that all alias ONE module (models16.py:13-14); only the h_net2 /
+    img_net1 sets load (our module owns a single shared instance)."""
+    out = convert_netg_low(sd, n_stages=2)  # ca_net + h_net1 + h_net2
+    # x16 image heads are GET_IMAGE_G (shared, named img_net1 here)
+    params = out["params"]
+    params["img_net1"] = {
+        "conv": {"kernel": _conv(sd["img_net1.img.0.weight"])}
+    }
+    params.pop("img_net2", None)
+    return out
+
+
+def convert_netgh_weight16(sd: Mapping, n_res: int = 6,
+                           weightmap: bool = False) -> Dict[str, Any]:
+    """models16 NetG_highweight .pth -> NetGHighWeight16 variables.
+
+    The declared residual816/upscale16x params exist in the torch state
+    dict but are never executed (models16.py:171-173); with fix_bugs=False
+    our module creates no params for them, so they are dropped here."""
+    out = convert_netgh_weight(sd, n_res=n_res, weightmap=weightmap)
+    params, stats = out["params"], out["batch_stats"]
+    for name, ckpt_prefix in (("residual816", "residual816"),):
+        if f"{ckpt_prefix}.0.weight" in sd:
+            params[name] = {
+                "conv1": {"kernel": _conv(sd[f"{ckpt_prefix}.0.weight"])},
+                "bn1": _bn_params(sd, f"{ckpt_prefix}.1"),
+                "conv2": {"kernel": _conv(sd[f"{ckpt_prefix}.3.weight"])},
+                "bn2": _bn_params(sd, f"{ckpt_prefix}.4"),
+            }
+            stats[name] = {"bn1": _bn_stats(sd, f"{ckpt_prefix}.1"),
+                           "bn2": _bn_stats(sd, f"{ckpt_prefix}.4")}
+    if "upscale16x.1.weight" in sd:
+        up_p, up_s = _conv_bn(sd, "upscale16x", conv_idx=1, bn_idx=2)
+        params["upscale16x"] = up_p
+        stats["upscale16x"] = up_s
+    if weightmap:
+        for n in ("a1", "a2", "a3", "a4"):
+            if n in sd:
+                params[n] = _np(sd[n])
+    return out
+
+
 def convert_cnn_encoder(sd: Mapping, nef: int = 256) -> Dict[str, Any]:
     """CNN_ENCODER state dict (util.py:263-368; backbone keys are the
     torchvision inception_v3 names like Mixed_5b.branch1x1.{conv,bn}.*) ->

@@ -57,21 +57,38 @@ class SRPipeline:
             nhidden=cfg.TEXT.EMBEDDING_DIM,
             rnn_type=cfg.RNN_TYPE,
         )
-        if cfg.EVAL.STAGE1:
-            self.netg = GSRNetLowStage1(ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
-                                        r_num=cfg.GAN.R_NUM)
-        else:
-            self.netg = GSRNetLow(
-                ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
-                n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
+        # model family switch (= trainer_objective.py:74-88: BRANCH_NUM==4
+        # uses model.py, otherwise models16)
+        if cfg.TREE.BRANCH_NUM == 4:
+            if cfg.EVAL.STAGE1:
+                self.netg = GSRNetLowStage1(
+                    ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
+                    r_num=cfg.GAN.R_NUM)
+            else:
+                self.netg = GSRNetLow(
+                    ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
+                    n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
+                    fused_upsample=fused_upsample,
+                )
+            self.netgh = NetGHighWeight(
+                ngf=cfg.GAN.GF_DIM,
+                weightmap=cfg.EVAL.WEIGHTMAP,
+                low=cfg.EVAL.INPUT_NETGH,
                 fused_upsample=fused_upsample,
             )
-        self.netgh = NetGHighWeight(
-            ngf=cfg.GAN.GF_DIM,
-            weightmap=cfg.EVAL.WEIGHTMAP,
-            low=cfg.EVAL.INPUT_NETGH,
-            fused_upsample=fused_upsample,
-        )
+        else:
+            from tgsr_tpu.models.models16 import (
+                GSRNetLow16,
+                NetGHighWeight16,
+            )
+
+            sizes = tuple(cfg.pyramid_sizes())
+            self.netg = GSRNetLow16(ngf=cfg.GAN.GF_DIM,
+                                    c_dim=cfg.GAN.CONDITION_DIM,
+                                    r_num=cfg.GAN.R_NUM)
+            self.netgh = NetGHighWeight16(
+                ngf=cfg.GAN.GF_DIM, weightmap=cfg.EVAL.WEIGHTMAP,
+                low=cfg.EVAL.INPUT_NETGH, sizes=sizes)
         self.variables = {
             "text": text_vars,
             "netg": netg_vars,
