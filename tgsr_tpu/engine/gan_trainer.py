@@ -25,8 +25,7 @@ must use noise, not constant tensors.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +34,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tgsr_tpu.config import Config
-from tgsr_tpu.losses.gan import bce_with_logits, discriminator_loss, generator_loss
+from tgsr_tpu.losses.gan import discriminator_loss, generator_loss
 from tgsr_tpu.losses.pixel import kl_loss, mse_pyramid
 from tgsr_tpu.models.discriminator import DNet
 from tgsr_tpu.models.generator import GSRNetLow

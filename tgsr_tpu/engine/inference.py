@@ -14,8 +14,7 @@ f32 on TPU). PSNR impact is validated in tests/bench against the f32 path.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +195,10 @@ class SRPipeline:
             cdt = self.compute_dtype
 
             def one(variables, lr_b, cap_b, len_b):
+                if lr_b.dtype == jnp.uint8:
+                    # uint8 ingress: 4x less host->device transfer; the
+                    # normalize fuses on-device
+                    lr_b = lr_b.astype(jnp.float32) / 127.5 - 1.0
                 words, sent = self.text_encoder.apply(
                     variables["text"], cap_b, len_b)
                 mask = cap_b == 0
