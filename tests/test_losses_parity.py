@@ -114,3 +114,29 @@ def test_mse_and_kl_parity(ref_losses):
     ref_kl = ref_losses.KL_loss(mu.clone(), logvar.clone()).item()
     got_kl = kl_loss(jnp.asarray(mu.numpy()), jnp.asarray(logvar.numpy()))
     np.testing.assert_allclose(ref_kl, float(got_kl), rtol=1e-5)
+
+
+def test_cycle_mse_bicubic_parity(ref_losses):
+    """CycleMSE's bicubic downsample must match torch's a=-0.75 kernel
+    (jax.image's cubic is a=-0.5 -- 7% loss error before the custom
+    resampler)."""
+    import torch.nn.functional as F
+
+    from tgsr_tpu.losses import cycle_mse
+    from tgsr_tpu.ops.image import resize_bicubic_torch
+
+    g = torch.Generator().manual_seed(4)
+    fakes = [torch.randn(2, 3, s, s, generator=g) for s in (16, 32)]
+    lr = torch.randn(2, 3, 8, 8, generator=g)
+    ref = ref_losses.CycleMSE(fakes, lr).item()
+    got = float(cycle_mse(
+        [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in fakes],
+        jnp.asarray(lr.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(ref, got, rtol=1e-5)
+
+    x = torch.randn(1, 3, 16, 16, generator=g)
+    r = F.interpolate(x, size=[32, 32], mode="bicubic").numpy()
+    j = np.asarray(resize_bicubic_torch(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), (32, 32)))
+    np.testing.assert_allclose(r, j.transpose(0, 3, 1, 2), rtol=1e-4,
+                               atol=1e-5)

@@ -20,11 +20,15 @@ def mse_pyramid(fake: Sequence[jax.Array], label: Sequence[jax.Array]) -> jax.Ar
 
 def cycle_mse(fake_sr: Sequence[jax.Array], real_lr: jax.Array) -> jax.Array:
     """Bicubic-downsample each fake SR scale to LR size, MSE vs real LR
-    (= CycleMSE, losses.py:785-790)."""
+    (= CycleMSE, losses.py:785-790). antialias=False matches
+    F.interpolate(mode='bicubic')'s plain kernel (torch does not antialias
+    on downsample)."""
+    from tgsr_tpu.ops.image import resize_bicubic_torch
+
     h, w = real_lr.shape[1:3]
     loss = 0.0
     for f in fake_sr:
-        down = jax.image.resize(f, (f.shape[0], h, w, f.shape[3]), method="cubic")
+        down = resize_bicubic_torch(f, (h, w))
         loss = loss + jnp.mean((down - real_lr) ** 2)
     return loss
 

@@ -78,6 +78,43 @@ def degrade_and_bicubic(hr: jax.Array, scale: int,
     return lr, bic
 
 
+def _torch_bicubic_weights(in_size: int, out_size: int) -> jnp.ndarray:
+    """[out, in] resampling matrix matching F.interpolate(mode='bicubic',
+    align_corners=False): Keys kernel with a = -0.75, no antialiasing,
+    border-replicate tap clamping."""
+    import numpy as np
+
+    a = -0.75
+
+    def kernel(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1, (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0))
+
+    scale = in_size / out_size
+    w = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        base = int(np.floor(src))
+        for k in range(-1, 3):
+            j = base + k
+            wt = kernel(src - j)
+            w[i, min(max(j, 0), in_size - 1)] += wt
+    return jnp.asarray(w)
+
+
+def resize_bicubic_torch(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """NHWC resize numerically matching torch F.interpolate(mode='bicubic',
+    align_corners=False) -- used where the reference's training losses
+    depend on torch's kernel (a=-0.75; jax.image uses a=-0.5)."""
+    h_out, w_out = size
+    wr = _torch_bicubic_weights(x.shape[1], h_out)
+    wc = _torch_bicubic_weights(x.shape[2], w_out)
+    x = jnp.einsum("oh,bhwc->bowc", wr, x)
+    return jnp.einsum("pw,bhwc->bhpc", wc, x)
+
+
 def crop_to_scale_multiple(img: jax.Array, scale: int) -> jax.Array:
     """Crop H, W down to multiples of `scale` (= get_imgsexampletest,
     datasets.py:200-233: arbitrary-size eval images are truncated so the
