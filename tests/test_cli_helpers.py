@@ -58,3 +58,25 @@ def test_srgt_dataset_bird_format(tmp_path):
     ex = ds.__getitem__(0, sent_ix=0)
     assert ex.hr.shape == (128, 128, 3)
     assert vocab.decode(ex.tokens[: ex.length]) == ["a", "red", "bird"]
+
+
+def test_rank_r_precision():
+    """Matched pairs must rank above mismatched ones on a separable task."""
+    import jax
+    import jax.numpy as jnp
+
+    from tgsr_tpu.engine.evaluator import rank_r_precision
+
+    N, R, T, E = 6, 4, 5, 8
+    k = jax.random.PRNGKey(0)
+    # construct correlated image/caption features: shared per-pair basis
+    base = jax.random.normal(k, (N, E))
+    img_feat = base[:, None, :] + 0.05 * jax.random.normal(
+        jax.random.fold_in(k, 1), (N, R, E))
+    words = base[:, None, :] + 0.05 * jax.random.normal(
+        jax.random.fold_in(k, 2), (N, T, E))
+    out = rank_r_precision(img_feat, base, words, base,
+                           jnp.full((N,), T, jnp.int32))
+    assert out["sent_r@1"] == 1.0
+    assert out["word_r@1"] == 1.0
+    assert out["n"] == N

@@ -25,6 +25,38 @@ from tgsr_tpu.ops.image import (
 )
 
 
+def rank_r_precision(
+    image_features: jax.Array,  # [N, R, E] DAMSM region features
+    cnn_codes: jax.Array,  # [N, E] global image codes
+    words_embs: jax.Array,  # [N, T, E]
+    sent_embs: jax.Array,  # [N, E]
+    cap_lens: jax.Array,  # [N]
+    gammas=(4.0, 5.0, 10.0),
+    top_k: int = 1,
+) -> Dict[str, float]:
+    """DAMSM retrieval ranking over generated results (the
+    TextSRGTDataset use-case, datasets.py:1721-1885): for each image, rank
+    all captions by the word- and sentence-level DAMSM similarity; R@k =
+    fraction whose own caption ranks in the top k."""
+    from tgsr_tpu.losses.damsm import sent_similarity, words_similarity
+
+    w_sim = words_similarity(image_features, words_embs, cap_lens,
+                             gammas[0], gammas[1])  # [img, caption]
+    s_sim = sent_similarity(cnn_codes, sent_embs, gammas[2])
+    n = w_sim.shape[0]
+
+    def r_at_k(sim):
+        order = jnp.argsort(-sim, axis=1)[:, :top_k]
+        hit = (order == jnp.arange(n)[:, None]).any(axis=1)
+        return float(jnp.mean(hit.astype(jnp.float32)))
+
+    return {
+        f"word_r@{top_k}": r_at_k(w_sim),
+        f"sent_r@{top_k}": r_at_k(s_sim),
+        "n": n,
+    }
+
+
 def evaluate_sr(
     pipeline: SRPipeline,
     batches: Iterable[Dict[str, np.ndarray]],
