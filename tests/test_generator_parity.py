@@ -132,3 +132,41 @@ def test_full_pipeline_parity(setup):
     ).astype(np.uint8)
     mismatch = (im_t != im_j).mean()
     assert mismatch < 0.01, f"uint8 pixel mismatch ratio {mismatch}"
+
+
+def test_netg_high_additive_parity(setup):
+    """NetG_high (additive variant, model.py:133-209) vs the reference with
+    randomly initialized weights converted both ways."""
+    from tests.reference_oracle import load_reference
+
+    from tgsr_tpu.checkpoints.convert_torch import convert_netgh_weight
+    from tgsr_tpu.models.generator_hf import NetGHigh
+
+    ref = load_reference()
+    torch.manual_seed(11)
+    net = ref["model"].NetG_high(cat=False)
+    net.eval()
+    # randomize BN stats so eval BN actually transforms
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+
+    g = torch.Generator().manual_seed(12)
+    lr_t = torch.randn(1, 3, 32, 32, generator=g) * 0.5
+    srb_t = [torch.randn(1, 3, s, s, generator=g) * 0.5
+             for s in (64, 128, 256)]
+    with torch.no_grad():
+        ims_t = net(lr_t, srb_t, lr_t, low=True)  # convin(LRb) path
+
+    variables = convert_netgh_weight(net.state_dict())
+    variables["params"].pop("a", None)  # NetGHigh has no blend param
+    m = NetGHigh(ngf=32)
+    to_nhwc = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+    ims_j = m.apply(variables, to_nhwc(lr_t), [to_nhwc(s) for s in srb_t],
+                    to_nhwc(lr_t), low=True)
+    for i, (t, j) in enumerate(zip(ims_t, ims_j)):
+        np.testing.assert_allclose(
+            t.numpy(), np.asarray(j).transpose(0, 3, 1, 2),
+            rtol=1e-3, atol=1e-4, err_msg=f"scale {i}")
