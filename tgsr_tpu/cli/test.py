@@ -20,7 +20,6 @@ import argparse
 import os
 import pickle
 import pprint
-import sys
 
 import numpy as np
 
@@ -96,7 +95,7 @@ def main(argv=None):
     from PIL import Image
 
     from tgsr_tpu.config import config_from_file
-    from tgsr_tpu.data.datasets import TextExampleSRDataset, prepare_batch
+    from tgsr_tpu.data.datasets import TextExampleSRDataset
     from tgsr_tpu.data.pipeline import BatchLoader
     from tgsr_tpu.engine.inference import SRPipeline
     from tgsr_tpu.utils.visualize import build_super_images_all

@@ -14,10 +14,9 @@ from __future__ import annotations
 import functools
 import threading
 import queue as queue_mod
-from typing import Any, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tgsr_tpu.ops.image import (

@@ -20,7 +20,7 @@ parameters -- the direct equivalent of the reference's aliased attributes.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

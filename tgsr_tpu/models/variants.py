@@ -10,7 +10,6 @@ All modules are NHWC, linen, and take words as [B, T, E].
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the production axis). XLA emits the ICI collectives; no transport code.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
