@@ -31,6 +31,7 @@ def main(argv=None):
                         help="trained DAMSM image encoder (.msgpack)")
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--manualSeed", type=int, default=100)
+    parser.add_argument("--log_every", type=int, default=20)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest orbax checkpoint under "
                              "--out_dir/ckpt")
@@ -131,7 +132,7 @@ def main(argv=None):
             }
             state, metrics, rng = trainer.train_step(state, db, rng)
             ema_ms = timer.tick()
-            if it % 100 == 0:
+            if it % args.log_every == 0:
                 print(f"epoch {epoch} it {it}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
                     + (f" [{ema_ms:.0f} ms/step]" if ema_ms else ""))
