@@ -96,7 +96,7 @@ def main():
 
     rng = np.random.default_rng(0)
     best, best_cfg = 0.0, ""
-    for B, M in ((256, 4), (512, 4), (512, 8)):
+    for B, M in ((512, 8), (512, 16), (768, 8)):
         reps = int(np.ceil(B * M / n_caps))
         tokB = jax.device_put(np.tile(tok, (reps, 1))[: B * M].reshape(M, B, T))
         lensB = jax.device_put(np.tile(lens, reps)[: B * M].reshape(M, B))

@@ -59,3 +59,15 @@ def test_damsm_face_yaml():
     assert cfg.TREE.BRANCH_NUM == 1
     assert cfg.TREE.BASE_SIZE == 299
     assert cfg.TRAIN.SMOOTH.GAMMA1 == 4.0
+
+
+def test_eval_bird_yaml():
+    path = "/root/reference/cfg/eval_birdSR_attn2.yml"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    cfg = config_from_file(path)
+    assert cfg.DATASET_NAME == "birds"
+    assert cfg.TREE.BRANCH_NUM == 4
+    assert cfg.TREE.BASE_SIZE == 32
+    assert cfg.TEXT.CAPTIONS_PER_IMAGE == 10
+    assert cfg.scale == 8

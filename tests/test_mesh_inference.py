@@ -52,3 +52,26 @@ def test_mesh_sharded_equals_single():
     out_mesh = np.asarray(
         pipe_mesh(batch["lr"], batch["captions"], batch["cap_lens"])["sr"])
     np.testing.assert_allclose(out_single, out_mesh, rtol=2e-4, atol=2e-4)
+
+
+def test_forward_scan_under_mesh_sharding():
+    """The high-throughput scan path with batch-sharded inputs must equal
+    the unsharded result (DP serving on the hot path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = Config()
+    pipe, lr, caps, lens = _build(cfg, mesh=None)
+    M = 2
+    lrM = np.broadcast_to(lr, (M,) + lr.shape).copy()
+    capsM = np.broadcast_to(caps, (M,) + caps.shape).copy()
+    lensM = np.broadcast_to(lens, (M,) + lens.shape).copy()
+    out_ref = np.asarray(pipe.forward_scan(lrM, capsM, lensM))
+
+    mesh = make_mesh(n_data=8)
+    pipe2, _, _, _ = _build(cfg, mesh=None)
+    pipe2.variables = pipe.variables
+    dsh = lambda nd: NamedSharding(mesh, P(None, "data", *([None] * (nd - 2))))
+    out_mesh = np.asarray(pipe2.forward_scan(
+        jax.device_put(lrM, dsh(5)), jax.device_put(capsM, dsh(3)),
+        jax.device_put(lensM, dsh(2))))
+    np.testing.assert_array_equal(out_ref, out_mesh)
