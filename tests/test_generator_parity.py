@@ -170,3 +170,78 @@ def test_netg_high_additive_parity(setup):
         np.testing.assert_allclose(
             t.numpy(), np.asarray(j).transpose(0, 3, 1, 2),
             rtol=1e-3, atol=1e-4, err_msg=f"scale {i}")
+
+
+def test_stage1_variant_parity(setup):
+    """G_SR_NET_low_stage1 (model.py:81-130) vs reference with random
+    weights -- includes the shared-up1 quirk (up2 declared but unused)."""
+    from tests.reference_oracle import load_reference
+
+    from tgsr_tpu.checkpoints.convert_torch import convert_netg_low_stage1
+    from tgsr_tpu.models.generator import GSRNetLowStage1
+
+    ref = load_reference()
+    torch.manual_seed(21)
+    net = ref["model"].G_SR_NET_low_stage1()
+    net.eval()
+
+    s = setup
+    lr_t = torch.from_numpy(s["lr"].transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        fake_t, atts_t, mu_t, logvar_t = net(
+            lr_t, s["sent"], s["words"], s["mask"])
+
+    variables = convert_netg_low_stage1(net.state_dict())
+    m = GSRNetLowStage1(ngf=32)
+    lr_j = jnp.asarray(s["lr"])[None]
+    words_j = jnp.asarray(s["words"].numpy().transpose(0, 2, 1))
+    sent_j = jnp.asarray(s["sent"].numpy())
+    mask_j = jnp.asarray(s["mask"].numpy())
+    fake_j, atts_j, mu_j, logvar_j = m.apply(
+        variables, lr_j, sent_j, words_j, mask_j)
+
+    np.testing.assert_allclose(mu_t.numpy(), np.asarray(mu_j),
+                               rtol=1e-4, atol=1e-4)
+    for i, (t, j) in enumerate(zip(fake_t, fake_j)):
+        np.testing.assert_allclose(
+            t.numpy(), np.asarray(j).transpose(0, 3, 1, 2),
+            rtol=1e-3, atol=1e-4, err_msg=f"stage1 scale {i}")
+    for i, (t, j) in enumerate(zip(atts_t, atts_j)):
+        np.testing.assert_allclose(
+            t.numpy(), np.asarray(j), rtol=1e-3, atol=1e-5,
+            err_msg=f"stage1 attn {i}")
+
+
+def test_netgh_sr_weight_parity(setup):
+    """NetG_high_SR_weight (model.py:301-336): space-to-depth fusion with
+    tied residual1==residual and a 256x256 weight map."""
+    from tests.reference_oracle import load_reference
+
+    from tgsr_tpu.checkpoints.convert_torch import convert_netgh_sr_weight
+    from tgsr_tpu.models.generator_hf import NetGHighSRWeight
+
+    ref = load_reference()
+    torch.manual_seed(31)
+    net = ref["model"].NetG_high_SR_weight()
+    net.eval()
+    with torch.no_grad():
+        for mm in net.modules():
+            if isinstance(mm, torch.nn.BatchNorm2d):
+                mm.running_mean.normal_(0, 0.3)
+                mm.running_var.uniform_(0.5, 2.0)
+        net.a.normal_(0.5, 0.1)
+
+    g = torch.Generator().manual_seed(32)
+    lr_t = torch.randn(1, 3, 32, 32, generator=g) * 0.5  # LR = SR/8
+    srb_t = [torch.randn(1, 3, 256, 256, generator=g) * 0.5]
+    with torch.no_grad():
+        ims_t, a_t = net(lr_t, srb_t, lr_t)
+
+    variables = convert_netgh_sr_weight(net.state_dict())
+    m = NetGHighSRWeight(ngf=32, size=256)
+    to_nhwc = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+    ims_j, a_j = m.apply(variables, to_nhwc(lr_t), [to_nhwc(srb_t[0])],
+                         to_nhwc(lr_t))
+    np.testing.assert_allclose(
+        ims_t[0].numpy(), np.asarray(ims_j[0]).transpose(0, 3, 1, 2),
+        rtol=1e-3, atol=1e-3)

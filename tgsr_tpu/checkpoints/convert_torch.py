@@ -187,6 +187,85 @@ def convert_text_encoder(sd: Mapping, rnn_type: str = "LSTM") -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_netg_low_stage1(sd: Mapping) -> Dict[str, Any]:
+    """G_SR_NET_low_stage1 .pth (model.py:81-130) -> GSRNetLowStage1.
+
+    Faithful detail: the reference declares self.up2 but its forward uses
+    self.up1 for BOTH upsampling steps (model.py:116,123), so up2.* keys in
+    the state dict are dead weights and are dropped here.
+    """
+    params: Dict[str, Any] = {}
+
+    params["ca_net"] = {
+        "fc": {"kernel": _dense(sd["ca_net.fc.weight"]),
+               "bias": _np(sd["ca_net.fc.bias"])}
+    }
+    # shared up1: Sequential(conv3x3, LeakyReLU, upBlocknoBN)
+    params["up1_conv"] = {"kernel": _conv(sd["up1.0.weight"])}
+    params["up1_up"] = {"conv": {"kernel": _conv(sd["up1.2.1.weight"])}}
+
+    # h_net1 = INIT_STAGE_GImgup(batchnorm=False): no BN anywhere
+    h1: Dict[str, Any] = {
+        "im2f_conv": {"kernel": _conv(sd["h_net1.im2f.0.weight"])},
+        "att": {"conv_context": {
+            "kernel": _np(sd["h_net1.att.conv_context.weight"])[:, :, 0, 0].T}},
+        "upsample": {"conv": {"kernel": _conv(sd["h_net1.upsample.1.weight"])}},
+    }
+    j = 0
+    while f"h_net1.residual.{j}.block.0.weight" in sd:
+        h1[f"residual_{j}"] = {
+            "conv1": {"kernel": _conv(sd[f"h_net1.residual.{j}.block.0.weight"])},
+            "conv2": {"kernel": _conv(sd[f"h_net1.residual.{j}.block.2.weight"])},
+        }
+        j += 1
+    params["h_net1"] = h1
+
+    # h_net2/h_net3 = plain no-BN ResBlocks (block indices 0 and 2)
+    for name in ("h_net2", "h_net3"):
+        params[name] = {
+            "conv1": {"kernel": _conv(sd[f"{name}.block.0.weight"])},
+            "conv2": {"kernel": _conv(sd[f"{name}.block.2.weight"])},
+        }
+    for k in (1, 2, 3):
+        params[f"img_net{k}"] = {
+            "conv": {"kernel": _conv(sd[f"img_net{k}.img.0.weight"])}
+        }
+    return {"params": params}
+
+
+def convert_netgh_sr_weight(sd: Mapping) -> Dict[str, Any]:
+    """NetG_high_SR_weight .pth (model.py:301-336) -> NetGHighSRWeight.
+
+    residual1 and residual alias ONE Sequential in the reference
+    (model.py:312); only the `residual` key set loads."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for name in ("convin1", "convin"):
+        p, s = _conv_bn(sd, name)
+        params[name] = p
+        stats[name] = s
+    params["residual"] = {
+        "conv1": {"kernel": _conv(sd["residual.0.weight"])},
+        "bn1": _bn_params(sd, "residual.1"),
+        "conv2": {"kernel": _conv(sd["residual.3.weight"])},
+        "bn2": _bn_params(sd, "residual.4"),
+    }
+    stats["residual"] = {"bn1": _bn_stats(sd, "residual.1"),
+                         "bn2": _bn_stats(sd, "residual.4")}
+    up_p, up_s = _conv_bn(sd, "upscale2x", conv_idx=1, bn_idx=2)
+    params["upscale2x"] = up_p
+    stats["upscale2x"] = up_s
+    cm_p, cm_s = _conv_bn(sd, "convmd")
+    params["convmd_conv"] = cm_p["conv"]
+    params["convmd_bn"] = cm_p["bn"]
+    stats["convmd_bn"] = cm_s["bn"]
+    params["conv_output"] = {"conv": {"kernel": _conv(sd["conv_output.0.weight"])}}
+    params["a"] = _np(sd["a"]) if "a" in sd else None
+    if params["a"] is None:
+        params.pop("a")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_netg_low16(sd: Mapping) -> Dict[str, Any]:
     """models16 G_SR_NET_low .pth -> GSRNetLow16 variables.
 
