@@ -144,3 +144,20 @@ def test_example_sr_dataset_with_real_pickle(tmp_path):
     assert ex.length > 0
     batch = prepare_batch([ex])
     assert batch["captions"].shape == (1, 18)
+
+
+def test_face_sentence_captions(tmp_path):
+    """load_caps variant (datasets.py:1002-1026): caps.txt sentences."""
+    from tgsr_tpu.data.datasets import TextFaceDataset
+
+    (tmp_path / "caps.txt").write_text(
+        "000155 x\tA young woman, smiling.|She wears lipstick.\n"
+        "000249 x\tA man with a beard.\n")
+    caps, names = TextFaceDataset.load_sentence_captions(str(tmp_path))
+    # = reference name rule: first 7 chars + 'png' (datasets.py:1011)
+    assert names == ["000155 png", "000249 png"]
+    assert len(caps) == 10  # 5 per image, cycled
+    assert caps[0] == ["a", "young", "woman", "smiling"]
+    assert caps[1] == ["she", "wears", "lipstick"]
+    assert caps[2] == caps[0]  # cycling
+    assert caps[5] == ["a", "man", "with", "a", "beard"]

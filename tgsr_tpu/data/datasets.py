@@ -287,6 +287,27 @@ class TextFaceDataset(_CaptionDatasetBase):
         self.class_id = np.arange(len(self.filenames))
 
     @staticmethod
+    def load_sentence_captions(data_dir: str, train: bool = True,
+                               caps_per_image: int = 5):
+        """Sentence-caption variant (= load_caps, datasets.py:1002-1026):
+        caps.txt lines are '<7-char id>...\\t<sent1>|<sent2>|...'; 5 captions
+        per image (cycled when fewer); lowercase, commas stripped; the
+        'test' split is the reference's first-5-images slice."""
+        all_caps, names = [], []
+        with open(os.path.join(data_dir, "caps.txt")) as f:
+            for line in f:
+                sents = line[line.find("\t") + 1:-1].split("|")
+                names.append(line[:7] + "png")
+                for i in range(caps_per_image):
+                    s = sents[i] if len(sents) > i else sents[i % len(sents)]
+                    s = s.rstrip(".").replace(",", "").lower()
+                    all_caps.append([w for w in s.split(" ") if w])
+        if not train:
+            all_caps = all_caps[: 5 * caps_per_image]
+            names = names[:5]
+        return all_caps, names
+
+    @staticmethod
     def load_attr_captions(data_dir: str, train: bool):
         """Parse list_attr_celeba.txt (= load_captions,
         datasets.py:934-961): header line of attribute names; per-image
