@@ -118,6 +118,29 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.manualSeed + 1)
     epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
     it = start_step
+    try:
+        it = _train_epochs(args, cfg, trainer, loader, state, rng, it,
+                           epochs, timer, logger, model_dir, ckpt_dir,
+                           save_variables, save_train_state, device_preprocess,
+                           jnp)
+    except KeyboardInterrupt:
+        # graceful exit with final checkpoint (= pretrain_DAMSM.py:293-295)
+        print("interrupted; saving final checkpoint")
+    final = _LAST_STATE[0]
+    final_step = max(int(final.step), 1)
+    save_train_state(ckpt_dir, final_step, final)
+    print("training done;", final_step, "steps; checkpoints in", ckpt_dir)
+
+
+_LAST_STATE = [None]
+
+
+def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
+                  logger, model_dir, ckpt_dir, save_variables,
+                  save_train_state, device_preprocess, jnp):
+    import os
+
+    _LAST_STATE[0] = state
     for epoch in range(epochs):
         for batch in loader.epoch(epoch):
             pre = device_preprocess(jnp.asarray(batch["hr"]),
@@ -131,6 +154,7 @@ def main(argv=None):
                 "class_ids": jnp.asarray(batch["class_ids"]),
             }
             state, metrics, rng = trainer.train_step(state, db, rng)
+            _LAST_STATE[0] = state
             ema_ms = timer.tick()
             if it % args.log_every == 0:
                 print(f"epoch {epoch} it {it}: " + " ".join(
@@ -150,8 +174,7 @@ def main(argv=None):
                     {"params": state.g_ema["netgh"],
                      "batch_stats": state.g_stats["netgh"]})
                 save_train_state(ckpt_dir, it, state)
-    save_train_state(ckpt_dir, max(it, 1), state)
-    print("training done;", it, "steps; checkpoints in", ckpt_dir)
+    return it
 
 
 if __name__ == "__main__":
