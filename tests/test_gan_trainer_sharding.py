@@ -1,0 +1,110 @@
+"""GANTrainer distributed-correctness and D-BN semantics tests.
+
+1. DP equivalence: the mesh-sharded train step must compute the same new
+   state and metrics as the single-device step (same rng, same batch) — the
+   with_sharding_constraint DP wiring changes placement, never math.
+2. D BatchNorm trains: d_stats must move away from init (torch train-mode
+   convention; see ADVICE.md round-1 medium finding).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tgsr_tpu.config import Config
+from tgsr_tpu.engine.gan_trainer import GANTrainer
+from tgsr_tpu.models.text_encoder import TextEncoder
+
+
+def _setup(B=8):
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=4, BASE_SIZE=8),
+        GAN=dataclasses.replace(cfg.GAN, GF_DIM=16, DF_DIM=16),
+    )
+    vocab, T = 12, 18
+    k = jax.random.PRNGKey(0)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    caps = jnp.ones((B, T), jnp.int32).at[:, 6:].set(0)
+    lens = jnp.full((B,), 6, jnp.int32)
+    text_vars = enc.init(k, caps, lens)
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "lr": 0.2 * jax.random.normal(rng, (B, 8, 8, 3)),
+        "real_pyramid": [
+            0.2 * jax.random.normal(jax.random.fold_in(rng, s), (B, s, s, 3))
+            for s in cfg.pyramid_sizes()
+        ],
+        "captions": caps,
+        "cap_lens": lens,
+        "class_ids": jnp.arange(B, dtype=jnp.int32),
+    }
+    return cfg, vocab, text_vars, batch
+
+
+def test_sharded_step_matches_single_device():
+    cfg, vocab, text_vars, batch = _setup(B=8)
+    k = jax.random.PRNGKey(0)
+    step_rng = jax.random.PRNGKey(2)
+
+    ref_trainer = GANTrainer(cfg, vocab, text_vars)
+    ref_state = ref_trainer.init_state(k, batch_size=8)
+    ref_new, ref_metrics, _ = ref_trainer.train_step(ref_state, batch,
+                                                     step_rng)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ("data", "model"))
+    sh_trainer = GANTrainer(cfg, vocab, text_vars, mesh=mesh)
+    sh_state = sh_trainer.init_state(k, batch_size=8)
+    repl = NamedSharding(mesh, P())
+    sh_state = jax.device_put(sh_state, repl)
+    sh_batch = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+        batch,
+    )
+    sh_new, sh_metrics, _ = sh_trainer.train_step(sh_state, sh_batch,
+                                                  step_rng)
+
+    for name in ref_metrics:
+        np.testing.assert_allclose(
+            float(sh_metrics[name]), float(ref_metrics[name]),
+            rtol=2e-4, atol=2e-5, err_msg=name)
+    # Parameter trees after one step must agree. Tolerance note: Adam
+    # rescales near-zero gradients by 1/sqrt(v), so float-level cross-device
+    # reduction-order noise can move an update by up to ~one LR; the tight
+    # functional check is the metrics comparison above.
+    one_step = 2 * max(cfg.TRAIN.GENERATOR_LR, cfg.TRAIN.DISCRIMINATOR_LR)
+    for ref_leaf, sh_leaf in zip(jax.tree.leaves(ref_new.g_params),
+                                 jax.tree.leaves(sh_new.g_params)):
+        np.testing.assert_allclose(np.asarray(sh_leaf), np.asarray(ref_leaf),
+                                   rtol=2e-3, atol=one_step)
+    for ref_leaf, sh_leaf in zip(jax.tree.leaves(ref_new.d_params),
+                                 jax.tree.leaves(sh_new.d_params)):
+        np.testing.assert_allclose(np.asarray(sh_leaf), np.asarray(ref_leaf),
+                                   rtol=2e-3, atol=one_step)
+    # the batch leaves inside the step were genuinely DP-sharded
+    lr_sh = sh_batch["lr"].sharding
+    assert lr_sh.spec == P("data", None, None, None)
+
+
+def test_d_batch_stats_update():
+    cfg, vocab, text_vars, batch = _setup(B=4)
+    trainer = GANTrainer(cfg, vocab, text_vars)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_size=4)
+    init_stats = jax.tree.map(np.asarray, state.d_stats)
+    state, metrics, _ = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    new_stats = jax.tree.map(np.asarray, state.d_stats)
+
+    moved = 0
+    for a, b in zip(jax.tree.leaves(init_stats), jax.tree.leaves(new_stats)):
+        assert np.isfinite(b).all()
+        if not np.allclose(a, b):
+            moved += 1
+    n = len(jax.tree.leaves(init_stats))
+    assert moved > n // 2, f"only {moved}/{n} D batch-stat leaves updated"
+    assert np.isfinite(float(metrics["d_loss"]))

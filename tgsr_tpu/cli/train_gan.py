@@ -118,6 +118,8 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.manualSeed + 1)
     epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
     it = start_step
+    _LAST_STATE[0] = state  # before the try: a Ctrl-C landing inside
+    # _train_epochs' prologue must still find a saveable state
     try:
         it = _train_epochs(args, cfg, trainer, loader, state, rng, it,
                            epochs, timer, logger, model_dir, ckpt_dir,
@@ -127,8 +129,18 @@ def main(argv=None):
         # graceful exit with final checkpoint (= pretrain_DAMSM.py:293-295)
         print("interrupted; saving final checkpoint")
     final = _LAST_STATE[0]
-    final_step = max(int(final.step), 1)
-    save_train_state(ckpt_dir, final_step, final)
+    if final is None:
+        print("no trained state to save")
+        return
+    try:
+        final_step = max(int(final.step), 1)
+        save_train_state(ckpt_dir, final_step, final)
+    except RuntimeError as e:
+        # a Ctrl-C mid-step can leave _LAST_STATE holding the donated
+        # (invalidated) input buffers; the previous periodic checkpoint is
+        # then the best available state
+        print(f"final state unsaveable ({e}); last periodic checkpoint stands")
+        return
     print("training done;", final_step, "steps; checkpoints in", ckpt_dir)
 
 

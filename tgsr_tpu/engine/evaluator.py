@@ -65,7 +65,12 @@ def evaluate_sr(
 ) -> Dict[str, float]:
     """Runs the eval protocol over host batches ({hr uint8, captions,
     cap_lens, ...}) and aggregates Y-channel PSNR (BT.601, the reference's
-    metric definition) + SSIM + throughput."""
+    metric definition) + SSIM + throughput.
+
+    Timing note: `images_per_sec_host_e2e` is a HOST end-to-end number
+    (includes per-batch host sync, degrade, and metric fetch) — it is NOT a
+    chip-throughput figure. Chip numbers must use the in-graph checksum
+    methodology (bench.py / docs/PERF.md)."""
     import time
 
     scale = scale or pipeline.cfg.scale
@@ -102,5 +107,5 @@ def evaluate_sr(
         "psnr_y": float(np.mean(psnrs)) if psnrs else float("nan"),
         "ssim_y": float(np.mean(ssims)) if ssims else float("nan"),
         "images": n,
-        "images_per_sec": n / dt if dt > 0 else float("nan"),
+        "images_per_sec_host_e2e": n / dt if dt > 0 else float("nan"),
     }

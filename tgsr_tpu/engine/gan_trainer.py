@@ -13,8 +13,11 @@ imply, TPU-native:
   * losses: per-scale discriminator_loss + generator_loss [+ DAMSM terms
     when an image encoder is provided] + KL(mu, logvar) + pixel MSE on both
     pyramids
-  * mesh-ready: the step is pure; batch shards over 'data', params replicate
-    (or shard over 'model' for TP) via NamedSharding on the jit
+  * mesh-aware: with a mesh, the step pins every batch leaf to the 'data'
+    axis via with_sharding_constraint (DP); params/opt-state keep the
+    caller's placement (replicated, or sharded over 'model' for TP)
+  * D runs train-mode BatchNorm (batch statistics) exactly as a torch D in
+    train() mode would, with running averages threaded into d_stats
 
 Numerical note: train-mode BatchNorm backward multiplies incoming gradients
 by rsqrt(var + eps); at an exactly-constant (zero-variance) input image the
@@ -155,17 +158,30 @@ class GANTrainer:
         new_stats = {"netg": gupd["batch_stats"], "netgh": ghupd["batch_stats"]}
         return fake, fine, mu, logvar, new_stats
 
-    def _d_closures(self, dnet, params, stats):
-        v = {"params": params, "batch_stats": stats}
+    def _d_closures(self, dnet, params, stats_cell, key):
+        """Train-mode D closures (torch convention: D always runs in train
+        mode, BN normalizes with batch statistics and updates running
+        averages as a side effect). `stats_cell[key]` holds the latest
+        running stats; each call threads its update through, matching the
+        sequential call order of the reference's discriminator_loss /
+        generator_loss (real features -> fake features -> cond heads)."""
+
+        def _apply(method, *args):
+            out, upd = dnet.apply(
+                {"params": params, "batch_stats": stats_cell[key]},
+                *args, train=True, mutable=["batch_stats"], method=method,
+            )
+            stats_cell[key] = upd["batch_stats"]
+            return out
 
         def d_feat(img):
-            return dnet.apply(v, img, train=False, method=DNet.features)
+            return _apply(DNet.features, img)
 
         def d_cond(h, sent):
-            return dnet.apply(v, h, sent, train=False, method=DNet.cond_logit)
+            return _apply(DNet.cond_logit, h, sent)
 
         def d_uncond(h):
-            return dnet.apply(v, h, train=False, method=DNet.uncond_logit)
+            return _apply(DNet.uncond_logit, h)
 
         return d_feat, d_cond, d_uncond
 
@@ -178,6 +194,16 @@ class GANTrainer:
                     rng: jax.Array):
             """batch: real_pyramid (list of [B,s,s,3]), lr [B,b,b,3],
             captions [B,T], cap_lens [B], class_ids [B]."""
+            if self.mesh is not None:
+                # DP: pin every batch leaf to 'data' on dim 0 regardless of
+                # how the caller placed it; params/opt-state keep their
+                # caller-supplied shardings (replicated or TP over 'model').
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(
+                            self.mesh, P("data", *([None] * (x.ndim - 1))))),
+                    batch,
+                )
             rng_ca, rng_next = jax.random.split(rng)
             words, sent = self.text_encoder.apply(
                 self.text_vars, batch["captions"], batch["cap_lens"])
@@ -192,30 +218,40 @@ class GANTrainer:
                 rng_ca)
             fine_sg = [jax.lax.stop_gradient(f) for f in fine]
 
-            # ---- D update: sum of per-scale losses, one fused grad ----
+            # ---- D update: sum of per-scale losses, one fused grad.
+            # D runs train-mode BN (batch statistics); updated running
+            # averages thread through the aux output into new_state.d_stats,
+            # mirroring torch's train-mode side effects.
             def d_loss_fn(d_params):
+                stats_cell = dict(state.d_stats)
                 total = 0.0
                 for dn, s, real, fk in zip(self.dnets, self.sizes, real_pyr,
                                            fine_sg):
                     closures = self._d_closures(dn, d_params[f"d{s}"],
-                                                state.d_stats[f"d{s}"])
+                                                stats_cell, f"d{s}")
                     total = total + discriminator_loss(
                         *closures, real, fk, sent)
-                return total
+                return total, stats_cell
 
-            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+            (d_loss, d_stats), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.d_params)
+            d_stats = jax.lax.stop_gradient(d_stats)
             d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt,
                                                 state.d_params)
             d_params = optax.apply_updates(state.d_params, d_updates)
 
-            # ---- G update (against the UPDATED D, AttnGAN convention) ----
+            # ---- G update (against the UPDATED D, AttnGAN convention).
+            # The G-step D calls also run train-mode BN and also update D
+            # running stats (torch does the same: netD stays in train mode
+            # during the G backward).
             def g_loss_fn(g_params):
                 fake_g, fine_g, mu_g, logvar_g, new_stats = self._g_forward(
                     g_params, state.g_stats, batch["lr"], sent, words, mask,
                     rng_ca)
+                stats_cell = dict(d_stats)
                 ds = [
-                    self._d_closures(dn, d_params[f"d{s}"],
-                                     state.d_stats[f"d{s}"])
+                    self._d_closures(dn, d_params[f"d{s}"], stats_cell,
+                                     f"d{s}")
                     for dn, s in zip(self.dnets, self.sizes)
                 ]
                 adv, logs = generator_loss(
@@ -228,10 +264,11 @@ class GANTrainer:
                                                                   real_pyr)
                 total = adv + kl + pix
                 logs.update({"kl": kl, "pixel": pix, "adv": adv})
-                return total, (logs, new_stats)
+                return total, (logs, new_stats, stats_cell)
 
-            (g_loss, (logs, new_g_stats)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(state.g_params)
+            (g_loss, (logs, new_g_stats, d_stats2)), g_grads = (
+                jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params))
+            d_stats2 = jax.lax.stop_gradient(d_stats2)
             g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
                                                 state.g_params)
             g_params = optax.apply_updates(state.g_params, g_updates)
@@ -242,25 +279,11 @@ class GANTrainer:
             new_state = state.replace(
                 step=state.step + 1,
                 g_params=g_params, g_stats=new_g_stats, g_ema=g_ema,
-                d_params=d_params, d_opt=d_opt, g_opt=g_opt,
+                d_params=d_params, d_stats=d_stats2, d_opt=d_opt, g_opt=g_opt,
             )
             metrics = {"d_loss": d_loss, "g_loss": g_loss, **logs}
             return new_state, metrics, rng_next
 
-        if self.mesh is not None:
-            repl = NamedSharding(self.mesh, P())
-            data = NamedSharding(self.mesh, P("data"))
-
-            def shard_batch_spec(batch):
-                return {
-                    k: ([NamedSharding(self.mesh, P("data", None, None, None))
-                         for _ in v] if isinstance(v, list) else
-                        NamedSharding(self.mesh,
-                                      P("data", *([None] * (v.ndim - 1)))))
-                    for k, v in batch.items()
-                }
-
-            return jax.jit(step_fn, donate_argnums=(0,))
         return jax.jit(step_fn, donate_argnums=(0,))
 
 

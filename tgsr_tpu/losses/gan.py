@@ -34,6 +34,20 @@ def bce_on_sigmoid(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return bce_with_logits(logits, targets)
 
 
+def bce_on_probs(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """= nn.BCELoss() applied DIRECTLY to `probs` (not to sigmoid(logits)).
+
+    Needed by the relativistic EGAN family (losses.py:852-883), which feeds
+    a DIFFERENCE of two sigmoid outputs into BCELoss. Matches torch's
+    clamped-log convention (log terms floored at -100). Inputs outside
+    [0, 1] are a domain error in torch (RuntimeError); here they produce
+    NaN -- the relativistic D loss is in that regime almost always, see
+    relativistic_d_loss."""
+    logp = jnp.maximum(jnp.log(probs), -100.0)
+    log1mp = jnp.maximum(jnp.log(1.0 - probs), -100.0)
+    return -jnp.mean(targets * logp + (1.0 - targets) * log1mp)
+
+
 # ---------------------------------------------------------------------------
 # Primary (BCEWithLogits) family -- losses.py:290-424
 # ---------------------------------------------------------------------------
@@ -264,22 +278,30 @@ def esrgan_d_loss(d_apply: Callable, real_imgs: jax.Array, fake_imgs: jax.Array)
 
 
 def relativistic_g_loss(d_feat, d_uncond, fake_imgs, real_imgs):
-    """= generator_EGAN_loss (losses.py:852-868)."""
+    """= generator_EGAN_loss (losses.py:852-868): BCELoss on the DIFFERENCE
+    of the sigmoid-terminated D outputs. Quirks preserved: the FAKE images
+    are detached (losses.py:857 -- so no gradient reaches G through them),
+    and the loss is domain-valid only where sigmoid(fake) > sigmoid(real)
+    elementwise (torch raises otherwise; here: NaN)."""
     b = fake_imgs.shape[0]
-    pred_fake = d_uncond(d_feat(jax.lax.stop_gradient(fake_imgs)))
-    pred_real = d_uncond(d_feat(real_imgs))
-    return bce_on_sigmoid(pred_fake - pred_real, jnp.ones((b,)))
+    p_fake = jax.nn.sigmoid(d_uncond(d_feat(jax.lax.stop_gradient(fake_imgs))))
+    p_real = jax.nn.sigmoid(d_uncond(d_feat(real_imgs)))
+    return bce_on_probs(p_fake - p_real, jnp.ones((b,)))
 
 
 def relativistic_d_loss(d_feat, d_uncond, real_imgs, fake_imgs):
-    """= discriminator_EGAND_loss (losses.py:871-883)."""
+    """= discriminator_EGAND_loss (losses.py:871-883). NOTE: since
+    mean(p_real - mean(p_fake)) + mean(p_fake - mean(p_real)) == 0, at least
+    one BCE input element is <= 0 whenever the two prediction sets are not
+    all equal -- the reference raises (torch BCELoss domain check) in any
+    non-degenerate regime; here the same regime yields NaN."""
     b = real_imgs.shape[0]
-    pred_fake = d_uncond(d_feat(jax.lax.stop_gradient(fake_imgs)))
-    pred_real = d_uncond(d_feat(real_imgs))
-    loss_real = bce_on_sigmoid(
-        pred_real - jnp.mean(pred_fake, axis=0, keepdims=True), jnp.ones((b,))
+    p_fake = jax.nn.sigmoid(d_uncond(d_feat(jax.lax.stop_gradient(fake_imgs))))
+    p_real = jax.nn.sigmoid(d_uncond(d_feat(real_imgs)))
+    loss_real = bce_on_probs(
+        p_real - jnp.mean(p_fake, axis=0, keepdims=True), jnp.ones((b,))
     )
-    loss_fake = bce_on_sigmoid(
-        pred_fake - jnp.mean(pred_real, axis=0, keepdims=True), jnp.zeros((b,))
+    loss_fake = bce_on_probs(
+        p_fake - jnp.mean(p_real, axis=0, keepdims=True), jnp.zeros((b,))
     )
     return (loss_real + loss_fake) / 2.0

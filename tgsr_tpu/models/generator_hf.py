@@ -137,8 +137,7 @@ class NetGHighWeight(nn.Module):
         out = UpBlock(self.ngf, fused=fu, name="upscale8x")(out, train)
         ims8 = ones[2] * conv_output(out) + weights[2] * srb[2]
 
-        a_last = weights[2] if self.weightmap else weights[2]
-        return [ims2, ims4, ims8], a_last, ones[2]
+        return [ims2, ims4, ims8], weights[2], ones[2]
 
 
 class NetGHigh(nn.Module):

@@ -200,8 +200,6 @@ class CNNEncoder(nn.Module):
         if freeze_backbone:
             features = jax.lax.stop_gradient(features)
             pooled = jax.lax.stop_gradient(pooled)
-        emb_init = nn.initializers.uniform(scale=0.2)  # ~U(-0.1,0.1) offset
-
         def uinit(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -0.1, 0.1)
 

@@ -242,7 +242,9 @@ void load_resize_one(const char* path, int target, float enlarge,
     *ok = 0;
     return;
   }
-  int pre = int(target * enlarge);
+  // Clamp so the center-crop window always fits: enlarge < 1.0 would make
+  // pre < target and the crop offsets negative (out-of-bounds memcpy).
+  int pre = std::max(int(target * enlarge), target);
   double scale = double(pre) / std::min(im.w, im.h);
   int rw = std::max(pre, int(std::lround(im.w * scale)));
   int rh = std::max(pre, int(std::lround(im.h * scale)));

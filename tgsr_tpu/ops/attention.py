@@ -105,7 +105,6 @@ def word_pixel_attention(
     Returns (context [B, H, W, C], attn [B, T, H, W]) -- attention map layout
     matches the reference's `[B, sourceL, ih, iw]` return for visualization.
     """
-    b, h, w, c = pixels.shape
     logits = jnp.einsum("bhwc,btc->bhwt", pixels, words_proj)
     m = mask[:, None, None, :] if mask is not None else None
     attn = masked_softmax(logits, m, axis=-1)
