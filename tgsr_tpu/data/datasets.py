@@ -571,3 +571,26 @@ def prepare_batch(examples: Sequence[Example]) -> Dict[str, np.ndarray]:
         "class_ids": np.asarray([e.class_id for e in examples], np.int32),
         "keys": [e.key for e in examples],
     }
+
+
+def load_arbitrary_eval_image(path_or_img, scale: int):
+    """Arbitrary-size eval image prep (= get_imgsexampletest,
+    datasets.py:200-233, and its coco scale-4 use at datasets.py:1548):
+    crop H, W DOWN to multiples of `scale` (top-left anchored, as the
+    reference's img.crop([0, 0, w, h])), produce the LR input by PIL
+    bilinear downscale (= transforms.Resize).
+
+    Returns (lr [1, h/scale, w/scale, 3] float32 in [-1, 1],
+             gt [H, W, 3] uint8 cropped ground truth).
+    """
+    from PIL import Image
+
+    img = (path_or_img if isinstance(path_or_img, Image.Image)
+           else Image.open(path_or_img).convert("RGB"))
+    w, h = img.size
+    h2, w2 = (h // scale) * scale, (w // scale) * scale
+    img = img.crop((0, 0, w2, h2))
+    lr = img.resize((w2 // scale, h2 // scale), Image.BILINEAR)
+    gt = np.asarray(img, np.uint8)
+    lr = np.asarray(lr, np.float32) / 127.5 - 1.0
+    return lr[None], gt

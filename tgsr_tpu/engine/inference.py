@@ -224,6 +224,44 @@ class SRPipeline:
                                   jnp.asarray(captions),
                                   jnp.asarray(cap_lens))
 
+    def sr_arbitrary(self, lr, captions, cap_lens,
+                     bucket: Optional[int] = None) -> np.ndarray:
+        """Arbitrary-geometry SR (= the example-test eval path,
+        datasets.py:200-278 / the coco scale-4 variant at datasets.py:1548):
+        `lr` is [1, h, w, 3] float32 in [-1, 1] for ANY (h, w).
+
+        XLA compiles one program per input shape, so fully dynamic eval
+        shapes need a policy (the reference's torch path is shape-oblivious):
+
+          * bucket=None  -- run at native shape: exact, one compile per
+            DISTINCT (h, w) seen (fine for small eval sets);
+          * bucket=N     -- edge-pad (h, w) up to multiples of N and crop
+            the SR back to (h*scale, w*scale): the number of compiled
+            programs is bounded by the bucket grid, at the cost of conv
+            receptive-field bleed from the padded border (word-pixel
+            attention is per-pixel over words, so padding cannot leak
+            beyond the convolutional halo).
+
+        Padding happens host-side (numpy): eager device ops on the axon TPU
+        platform pay a remote-compile round trip each (docs/PERF.md).
+        Compile count is observable via `self._forward._cache_size()`.
+        """
+        lr = np.asarray(lr, np.float32)
+        assert lr.ndim == 4 and lr.shape[0] == 1, lr.shape
+        h, w = lr.shape[1:3]
+        if bucket:
+            from tgsr_tpu.ops.image import bucket_shape
+
+            bh, bw = bucket_shape(h, w, 1, bucket)
+            lr_in = np.pad(lr, ((0, 0), (0, bh - h), (0, bw - w), (0, 0)),
+                           mode="edge")
+        else:
+            lr_in = lr
+        out = self(lr_in, captions, cap_lens)
+        s = self.cfg.scale
+        sr = np.asarray(out["sr"])[:, : h * s, : w * s]
+        return np.round(np.clip((sr + 1.0) * 127.5, 0, 255)).astype(np.uint8)
+
     def sr_uint8(self, lr, captions, cap_lens) -> np.ndarray:
         """Final SR as uint8 (save-time clip, trainer_objective.py:153-155).
 
