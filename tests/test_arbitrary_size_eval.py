@@ -114,3 +114,18 @@ def test_sr_arbitrary_bucket_interior_agreement(pipe):
     b = bucketed[:, : h * 8 - m, : w * 8 - m]
     assert np.abs(a - b).max() <= 1, (
         f"interior mismatch up to {np.abs(a - b).max()} uint8 levels")
+
+
+def test_sr_batched_memory_planned(pipe):
+    """sr_batched: any N decomposes into scan microbatches; rows must match
+    the direct forward bit-for-bit (same ops, same weights)."""
+    p, caps, lens = pipe
+    rng = np.random.default_rng(4)
+    n = 10
+    lr = (rng.random((n, 32, 32, 3), np.float32) * 2 - 1) * 0.5
+    capsN = np.repeat(caps, n, axis=0)
+    lensN = np.repeat(lens, n, axis=0)
+    out = p.sr_batched(lr, capsN, lensN, microbatch=4)  # m=3, tail pad 2
+    assert out.shape == (n, 256, 256, 3) and out.dtype == np.uint8
+    direct = p.sr_uint8(lr[:3], capsN[:3], lensN[:3])
+    np.testing.assert_array_equal(out[:3], direct)

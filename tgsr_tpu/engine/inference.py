@@ -224,6 +224,42 @@ class SRPipeline:
                                   jnp.asarray(captions),
                                   jnp.asarray(cap_lens))
 
+    # Largest per-scan-step batch that fits v5e HBM comfortably: the 256px
+    # stages keep ~25 MB of bf16 activations per image live; 768 is the
+    # measured throughput sweet spot (docs/PERF.md) with ~6 GB headroom.
+    DEFAULT_MICROBATCH = 768
+
+    def sr_batched(self, lr, captions, cap_lens,
+                   microbatch: Optional[int] = None) -> np.ndarray:
+        """Memory-planned large-batch SR: ANY number of images N.
+
+        A single dispatch at N ~ 1024 cannot fit on one chip -- the final
+        stage's GLU pre-activation alone is [N, 256, 256, 128] bf16 = 17 GB
+        at N=1024 -- so this plans N into ceil(N / microbatch) scan steps
+        inside ONE compiled program (forward_scan), padding the tail with
+        replicas and stripping it after. Peak memory is set by `microbatch`,
+        not N; per-dispatch overhead is amortized across the whole scan.
+
+        Returns uint8 [N, H, W, 3].
+        """
+        lr = np.asarray(lr)
+        captions = np.asarray(captions)
+        cap_lens = np.asarray(cap_lens)
+        n = lr.shape[0]
+        b = min(microbatch or self.DEFAULT_MICROBATCH, n)
+        m = -(-n // b)
+        pad = m * b - n
+        if pad:
+            sel = np.arange(m * b) % n  # replicate from the start
+            lr, captions, cap_lens = lr[sel], captions[sel], cap_lens[sel]
+        srs = self.forward_scan(
+            lr.reshape(m, b, *lr.shape[1:]),
+            captions.reshape(m, b, captions.shape[-1]),
+            cap_lens.reshape(m, b),
+        )
+        out = np.asarray(srs).reshape(m * b, *srs.shape[2:])
+        return out[:n]
+
     def sr_arbitrary(self, lr, captions, cap_lens,
                      bucket: Optional[int] = None) -> np.ndarray:
         """Arbitrary-geometry SR (= the example-test eval path,
