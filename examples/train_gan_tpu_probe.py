@@ -33,6 +33,8 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--n-batches", type=int, default=4,
                    help="distinct device-resident batches cycled")
+    p.add_argument("--scan", action="store_true",
+                   help="run n-batches steps per dispatch via train_steps")
     args = p.parse_args()
 
     if args.cpu:
@@ -111,24 +113,43 @@ def main():
     print(f"init_state: {time.perf_counter() - t0:.1f}s")
 
     step_rng = jax.random.PRNGKey(1)
-    t0 = time.perf_counter()
-    state, metrics, step_rng = trainer.train_step(state, batches[0], step_rng)
-    first = {kk: float(v) for kk, v in metrics.items()}
-    print(f"first step (compile): {time.perf_counter() - t0:.1f}s, "
-          f"metrics {first}")
+    if not args.scan:
+        t0 = time.perf_counter()
+        state, metrics, step_rng = trainer.train_step(state, batches[0],
+                                                      step_rng)
+        first = {kk: float(v) for kk, v in metrics.items()}
+        print(f"first step (compile): {time.perf_counter() - t0:.1f}s, "
+              f"metrics {first}")
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, metrics, step_rng = trainer.train_step(
-            state, batches[i % args.n_batches], step_rng)
-    # force the WHOLE chain by fetching a scalar from the last step
-    last = {kk: float(v) for kk, v in metrics.items()}
-    dt = time.perf_counter() - t0
+    if args.scan:
+        # K steps per dispatch via lax.scan (GANTrainer.train_steps)
+        K = args.n_batches
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        t0 = time.perf_counter()
+        state, ms, step_rng = trainer.train_steps(state, stacked, step_rng)
+        float(ms["g_loss"][-1])  # force the compile dispatch
+        print(f"scan compile+first {K} steps: {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        rounds = max(1, args.steps // K)
+        for _ in range(rounds):
+            state, ms, step_rng = trainer.train_steps(state, stacked, step_rng)
+        last = {kk: float(v[-1]) for kk, v in ms.items()}
+        dt = time.perf_counter() - t0
+        args.steps = rounds * K
+    else:
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics, step_rng = trainer.train_step(
+                state, batches[i % args.n_batches], step_rng)
+        # force the WHOLE chain by fetching a scalar from the last step
+        last = {kk: float(v) for kk, v in metrics.items()}
+        dt = time.perf_counter() - t0
     print(f"{args.steps} steps in {dt:.2f}s = {args.steps / dt:.2f} steps/s "
           f"({args.steps * B / dt:.1f} img/s), last metrics {last}")
     bad = [kk for kk, v in last.items() if not np.isfinite(v)]
     assert not bad, f"non-finite metrics after {args.steps} steps: {bad}"
-    assert int(jax.device_get(state.step)) == args.steps + 1
+    warm = args.n_batches if args.scan else 1
+    assert int(jax.device_get(state.step)) == args.steps + warm
 
     # --- EMA snapshot -> reload -> infer round-trip ---
     import tempfile

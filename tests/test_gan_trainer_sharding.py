@@ -108,3 +108,36 @@ def test_d_batch_stats_update():
     n = len(jax.tree.leaves(init_stats))
     assert moved > n // 2, f"only {moved}/{n} D batch-stat leaves updated"
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_train_steps_scan_matches_loop():
+    """K steps via lax.scan inside one jit == K sequential train_step calls
+    (same rng chain, same batches)."""
+    cfg, vocab, text_vars, batch = _setup(B=4)
+    K = 3
+    batches = jax.tree.map(
+        lambda x: jnp.stack([x + 0.01 * i if jnp.issubdtype(x.dtype, jnp.floating)
+                             else x for i in range(K)]), batch)
+
+    t1 = GANTrainer(cfg, vocab, text_vars)
+    s1 = t1.init_state(jax.random.PRNGKey(0), batch_size=4)
+    rng = jax.random.PRNGKey(2)
+    loop_metrics = []
+    for i in range(K):
+        b_i = jax.tree.map(lambda x: x[i], batches)
+        s1, m, rng = t1.train_step(s1, b_i, rng)
+        loop_metrics.append(m)
+
+    t2 = GANTrainer(cfg, vocab, text_vars)
+    s2 = t2.init_state(jax.random.PRNGKey(0), batch_size=4)
+    s2, ms, _ = t2.train_steps(s2, batches, jax.random.PRNGKey(2))
+
+    assert int(s2.step) == K
+    for i in range(K):
+        for name in loop_metrics[i]:
+            np.testing.assert_allclose(
+                float(ms[name][i]), float(loop_metrics[i][name]),
+                rtol=2e-4, atol=2e-5, err_msg=f"step {i} {name}")
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=5e-4)

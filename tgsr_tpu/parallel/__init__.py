@@ -4,3 +4,8 @@ from tgsr_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from tgsr_tpu.parallel.multihost import (  # noqa: F401
+    global_batch_from_local,
+    initialize_distributed,
+    process_local_slice,
+)

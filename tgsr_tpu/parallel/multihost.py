@@ -1,0 +1,77 @@
+"""Multi-host (multi-process) distributed helpers.
+
+The reference is strictly single-GPU (SURVEY.md 2.11); for the TPU build,
+multi-host scaling is mesh-native: `jax.distributed.initialize` joins the
+processes, the Mesh spans all hosts' devices, and XLA emits ICI/DCN
+collectives. The only host-side work a framework owes its users is (a) a
+safe initializer and (b) assembling a GLOBAL array from per-host input
+shards -- the `jax.make_array_from_process_local_data` pattern.
+
+Everything here degenerates correctly on one process (the tests run it on
+the CPU x8 virtual backend).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-process JAX runtime; returns this process' index.
+
+    Single-process (all args None and no cluster env): no-op returning 0 --
+    so CLIs can call it unconditionally. On TPU pods the TPU runtime
+    autodetects the topology and plain `jax.distributed.initialize()` works;
+    explicit args cover CPU/GPU clusters.
+    """
+    if coordinator_address is None and num_processes is None \
+            and jax.process_count() == 1:
+        import os
+
+        if "JAX_COORDINATOR_ADDRESS" not in os.environ \
+                and "COORDINATOR_ADDRESS" not in os.environ:
+            return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def global_batch_from_local(mesh: Mesh, local_batch: Any) -> Any:
+    """Assemble a GLOBAL data-sharded batch from each process' LOCAL shard.
+
+    Every process passes its host-local numpy batch (its slice of the global
+    batch along axis 0); the returned jax.Arrays are globally sharded over
+    the 'data' mesh axis without any host ever holding the full batch --
+    the per-host input pipeline pattern of SURVEY.md 2.11.
+    """
+    def one(x):
+        x = np.asarray(x)
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x)
+
+    return jax.tree.map(one, local_batch)
+
+
+def process_local_slice(n_global: int) -> slice:
+    """This process' contiguous slice of a global batch of size n_global
+    (equal split; n_global must divide by process_count)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    assert n_global % pc == 0, (n_global, pc)
+    per = n_global // pc
+    return slice(pi * per, (pi + 1) * per)
