@@ -1,0 +1,178 @@
+"""Synthetic-fixture tests for the dataset adapters that had no local data:
+flower (Oxford-102 text_c10 layout), coco (train2014/val2014 layout),
+SR-training variants (stopword/color caches, deterministic test caption),
+SRGT (both caption-line formats), and the meaningless control variant.
+
+The fixtures fabricate the exact file formats the reference consumes
+(datasets.py:504-903, 1146-1345, 1348-1548, 1721-1885, 1888-1972), so these
+pin the byte-level contracts without the real datasets.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tgsr_tpu.data.datasets import (
+    TextCocoDataset,
+    TextExampleSRDataset,
+    TextFlowerDataset,
+    TextSRDataset,
+    TextSRGTDataset,
+    Vocab,
+    prepare_batch,
+)
+
+
+def _img(path, h=80, w=90, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+    Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)).save(
+        str(path))
+
+
+def test_flower_dataset(tmp_path):
+    root = tmp_path / "flowers"
+    for cls in (1, 2):
+        d = root / "text_c10" / f"class_{cls:05d}"
+        d.mkdir(parents=True)
+        for i in range(5):  # last 3 per class -> test split
+            name = f"image_{cls:02d}{i:03d}"
+            with open(d / f"{name}.txt", "w") as f:
+                for j in range(2):
+                    f.write(f"this flower has {cls} petals and "
+                            f"{'red yellow'.split()[j]} color\n")
+            _img(root / "jpg" / f"{name}.jpg", seed=cls * 10 + i)
+
+    ds = TextFlowerDataset(str(root), split="train", imsize=64)
+    ds.embeddings_num = 2
+    assert len(ds) == 4  # 2 per class
+    assert sorted(set(ds.class_id.tolist())) == [1, 2]
+    ds_t = TextFlowerDataset(str(root), split="test", imsize=64)
+    ds_t.embeddings_num = 2
+    assert len(ds_t) == 6  # 3 per class
+    ex = ds.__getitem__(0, sent_ix=0)
+    assert ex.hr.shape == (64, 64, 3)
+    assert "flower" in ds.vocab.decode(ex.tokens[: ex.length])
+    # cache round-trip
+    assert (root / "captions_flower.pickle").exists()
+    ds2 = TextFlowerDataset(str(root), split="train", imsize=64)
+    assert ds2.vocab.n_words == ds.vocab.n_words
+
+
+def _stage_coco(root, n_train=3, n_test=2):
+    names_tr = [f"COCO_train2014_{i:012d}" for i in range(n_train)]
+    names_te = [f"COCO_val2014_{i:012d}" for i in range(n_test)]
+    for split, names in (("train", names_tr), ("test", names_te)):
+        (root / split).mkdir(parents=True)
+        with open(root / split / "filenames.pickle", "wb") as f:
+            pickle.dump(names, f)
+    os.makedirs(root / "text", exist_ok=True)
+    for i, n in enumerate(names_tr + names_te):
+        with open(root / "text" / f"{n}.txt", "w") as f:
+            for j in range(5):
+                f.write(f"a photo of {j} cats on object {i}\n")
+    for n in names_tr:
+        _img(root / "images" / "train2014" / f"{n}.jpg")
+    for n in names_te:
+        _img(root / "images" / "val2014" / f"{n}.jpg")
+    # the SR-training variant reads flat images/<name>.jpg
+    for n in names_tr + names_te:
+        _img(root / "images" / f"{n}.jpg")
+    return names_tr, names_te
+
+
+def test_coco_dataset(tmp_path):
+    root = tmp_path / "coco"
+    _stage_coco(root)
+    ds = TextCocoDataset(str(root), split="train", embeddings_num=5,
+                         imsize=64)
+    assert len(ds) == 3
+    ex = ds.__getitem__(1, sent_ix=2)
+    assert ex.hr.shape == (64, 64, 3)
+    assert ds.vocab.decode(ex.tokens[: ex.length])[:3] == ["a", "photo", "of"]
+    ds_t = TextCocoDataset(str(root), split="test", embeddings_num=5,
+                           imsize=64)
+    assert len(ds_t) == 2
+    assert ds_t.__getitem__(0, sent_ix=0).hr.shape == (64, 64, 3)
+
+
+def test_sr_dataset_variants(tmp_path):
+    root = tmp_path / "coco"
+    _stage_coco(root)
+    ds = TextSRDataset(str(root), split="train", embeddings_num=5, imsize=64)
+    assert os.path.exists(root / "captions5450.pickle")
+    # stopword variant drops 'a'/'of' and caches separately
+    ds_ns = TextSRDataset(str(root), split="train", embeddings_num=5,
+                          imsize=64, no_stopwords=True)
+    assert os.path.exists(root / "captions5450_nostop.pickle")
+    words = ds.vocab.decode(ds.captions[0])
+    words_ns = ds_ns.vocab.decode(ds_ns.captions[0])
+    assert "a" in words and "a" not in words_ns
+    # test split pins caption 0 regardless of rng
+    ds_t = TextSRDataset(str(root), split="test", embeddings_num=5, imsize=64)
+    e1 = ds_t[0]
+    e2 = ds_t[0]
+    np.testing.assert_array_equal(e1.tokens, e2.tokens)
+
+
+def test_srgt_dataset_both_formats(tmp_path):
+    # face attr names keep their original capitalization end-to-end
+    vocab_words = ["<end>", "Big", "Nose", "Smiling", "a", "bird", "flying"]
+    ix2w = dict(enumerate(vocab_words))
+    w2ix = {w: i for i, w in ix2w.items()}
+    vocab = Vocab(ix2w, w2ix)
+
+    d = tmp_path / "gt"
+    imd = tmp_path / "ims"
+    d.mkdir()
+    imd.mkdir()
+    for n in ("x1.png", "x2.png"):
+        _img(imd / n, h=70, w=70)
+
+    # face format: header attr line, then 'name|<flags>'
+    with open(d / "testset.txt", "w") as f:
+        f.write("Big Nose Smiling \n")
+        f.write("x1.png|0 1 0 1\n")
+        f.write("x2.png|0 0 1 0\n")
+    ds = TextSRGTDataset(vocab, str(d), str(imd), dataset="face", imsize=64)
+    assert len(ds) == 2
+    ex = ds.__getitem__(0, sent_ix=0)
+    assert ds.vocab.decode(ex.tokens[: ex.length]) == ["Big", "Smiling"]
+    assert ex.hr.shape == (64, 64, 3)
+
+    # generic format: 'name|caption'
+    with open(d / "other.txt", "w") as f:
+        f.write("x1.png|A bird flying\n")
+        f.write("x2.png|a big bird\n")
+    ds2 = TextSRGTDataset(vocab, str(d), str(imd), txt="other.txt",
+                          dataset="bird", imsize=64)
+    ex2 = ds2.__getitem__(0, sent_ix=0)
+    assert ds2.vocab.decode(ex2.tokens[: ex2.length]) == ["a", "bird",
+                                                          "flying"]
+    batch = prepare_batch([ds2.__getitem__(i, sent_ix=0) for i in range(2)])
+    assert batch["hr"].shape == (2, 64, 64, 3)
+
+
+def test_example_sr_meaningless_control(tmp_path):
+    """= TextexampleSRDataset_meaningless (datasets.py:1888-1972): constant
+    token-1 captions (the text-ablation control)."""
+    caps = [[3, 4, 5], [6, 7]]
+    ix2w = {i: f"w{i}" for i in range(8)}
+    w2ix = {v: k for k, v in ix2w.items()}
+    d = tmp_path / "ex"
+    (d / "Img" / "changetxt_im1").mkdir(parents=True)
+    for i in range(2):
+        _img(d / "Img" / "changetxt_im1" / f"{i:06d}.png")
+    with open(d / "caps.pickle", "wb") as f:
+        pickle.dump([caps, ix2w, w2ix], f)
+
+    ds = TextExampleSRDataset(str(d), str(d / "caps.pickle"), imsize=64,
+                              meaningless=True)
+    ex = ds.__getitem__(0, sent_ix=0)
+    assert ex.tokens[0] == 1 and ex.length == 1
+    ds_real = TextExampleSRDataset(str(d), str(d / "caps.pickle"), imsize=64)
+    ex_r = ds_real.__getitem__(0, sent_ix=0)
+    assert list(ex_r.tokens[: ex_r.length]) == [3, 4, 5]

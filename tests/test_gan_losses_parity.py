@@ -403,3 +403,38 @@ def test_words_reweight_parity(ref_losses):
         gamma1=5.0, gamma2=5.0, gamma3=10.0, word_scale=scale)
     np.testing.assert_allclose(float(j0), l0.item(), rtol=1e-4)
     np.testing.assert_allclose(float(j1), l1.item(), rtol=1e-4)
+
+
+def test_esrgan_dnet_with_relativistic_losses():
+    """ESRGANDNet (models/discriminator.py): logits contract + one D/G
+    gradient step through the ESRGAN loss pair stays finite."""
+    import optax
+
+    from tgsr_tpu.models.discriminator import ESRGANDNet
+
+    d = ESRGANDNet(ndf=16)
+    k = jax.random.PRNGKey(0)
+    img = 0.3 * jax.random.normal(k, (4, 64, 64, 3))
+    v = d.init(k, img, train=True)
+    logits = d.apply(v, img, train=False)
+    assert logits.shape == (4,)
+
+    def d_apply_train(params, x):
+        out, _ = d.apply({"params": params,
+                          "batch_stats": v["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"])
+        return out
+
+    real = img
+    fake = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3))
+
+    def d_loss(params):
+        return esrgan_d_loss(lambda x: d_apply_train(params, x), real, fake)
+
+    loss, grads = jax.value_and_grad(d_loss)(v["params"])
+    assert np.isfinite(float(loss))
+    tx = optax.adam(1e-4)
+    updates, _ = tx.update(grads, tx.init(v["params"]), v["params"])
+    new_params = optax.apply_updates(v["params"], updates)
+    g_loss = esrgan_g_loss(lambda x: d_apply_train(new_params, x), fake, real)
+    assert np.isfinite(float(g_loss))

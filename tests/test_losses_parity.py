@@ -140,3 +140,51 @@ def test_cycle_mse_bicubic_parity(ref_losses):
         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), (32, 32)))
     np.testing.assert_allclose(r, j.transpose(0, 3, 1, 2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_sent_similarity_parity(ref_losses):
+    B, E = 6, 32
+    g = torch.Generator().manual_seed(5)
+    cnn = torch.randn(B, E, generator=g)
+    rnn = torch.randn(B, E, generator=g)
+    ref = ref_losses.sent_similarity(cnn, rnn).numpy()
+    from tgsr_tpu.losses.damsm import sent_similarity
+
+    got = np.asarray(sent_similarity(jnp.asarray(cnn.numpy()),
+                                     jnp.asarray(rnn.numpy()), gamma3=10.0))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_words_similarity_parity(ref_losses):
+    img, words, cap_lens, class_ids, labels = _data(seed=6)
+    B, E, T = words.shape
+    ref = ref_losses.words_similarity(img, words, cap_lens, B).numpy()
+    from tgsr_tpu.losses.damsm import words_similarity
+
+    got = np.asarray(words_similarity(
+        jnp.asarray(img.numpy().reshape(B, E, -1).transpose(0, 2, 1)),
+        jnp.asarray(words.numpy().transpose(0, 2, 1)),
+        jnp.asarray(cap_lens.numpy()), gamma1=5.0, gamma2=5.0))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_weight_mse_parity(ref_losses):
+    """weight_MSE (losses.py:792-804): attention-max weighting, nearest
+    upsample, all-dims mean, and the last-scale weight map return."""
+    from tgsr_tpu.losses.pixel import weight_mse
+
+    g = torch.Generator().manual_seed(7)
+    T = 5
+    fakes = [torch.randn(2, 3, s, s, generator=g) for s in (8, 16)]
+    reals = [torch.randn(2, 3, s, s, generator=g) for s in (8, 16)]
+    attns = [torch.rand(2, T, s // 2, s // 2, generator=g) for s in (8, 16)]
+    attns = [a / a.sum(dim=1, keepdim=True) for a in attns]
+    ref, ref_w = ref_losses.weight_MSE(fakes, reals, attns)
+    got, got_w = weight_mse(
+        [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in fakes],
+        [jnp.asarray(r.numpy().transpose(0, 2, 3, 1)) for r in reals],
+        [jnp.asarray(a.numpy()) for a in attns])
+    np.testing.assert_allclose(float(got), ref.item(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_w).transpose(0, 3, 1, 2), ref_w.numpy(),
+        rtol=1e-5, atol=1e-7)
