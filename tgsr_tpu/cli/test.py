@@ -89,6 +89,14 @@ def main(argv=None):
     parser.add_argument("--metrics", action="store_true",
                         help="also run the batched eval harness (on-device "
                              "degrade -> SR -> Y-PSNR/SSIM) and print JSON")
+    parser.add_argument("--arbitrary", action="store_true",
+                        help="native-geometry eval (= get_imgsexampletest, "
+                             "datasets.py:200-278): each image keeps its own "
+                             "size, cropped to scale multiples")
+    parser.add_argument("--bucket", type=int, default=0,
+                        help="with --arbitrary: pad LR sizes up to multiples "
+                             "of BUCKET to bound the XLA compile count "
+                             "(0 = exact native shapes)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -177,6 +185,30 @@ def main(argv=None):
     def degrade(hr_uint8):
         return resize(normalize_uint8(hr_uint8),
                       (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE), "bilinear")
+
+    if args.arbitrary:
+        from tgsr_tpu.data.datasets import load_arbitrary_eval_image
+
+        for i in range(min(len(ds), cfg.EVAL.TEXT_BATCH_NUM)):
+            path = os.path.join(ds.data_dir, ds.image_subdir,
+                                ds.filenames[i])
+            if not os.path.exists(path):
+                path = os.path.join(ds.data_dir, ds.filenames[i])
+            if not os.path.exists(path):
+                continue  # eval whatever images the snapshot actually ships
+            lr, _ = load_arbitrary_eval_image(path, cfg.scale)
+            toks, length = ds.get_caption(i)
+            sr = pipe.sr_arbitrary(
+                lr, toks[None].astype(np.int32),
+                np.asarray([length], np.int32),
+                bucket=args.bucket or None)
+            stem = os.path.splitext(ds.filenames[i])[0]
+            Image.fromarray(sr[0]).save(
+                os.path.join(out_dir, f"{stem}_SR.png"))
+            n_done += 1
+        print(f"saved {n_done} native-geometry SR images to {out_dir} "
+              f"({pipe._forward._cache_size()} compiled shapes)")
+        return
 
     for batch in loader.epoch(0):
         lr = degrade(jnp.asarray(batch["hr"]))
