@@ -438,3 +438,75 @@ def test_esrgan_dnet_with_relativistic_losses():
     new_params = optax.apply_updates(v["params"], updates)
     g_loss = esrgan_g_loss(lambda x: d_apply_train(new_params, x), fake, real)
     assert np.isfinite(float(g_loss))
+
+
+class _StubVGG:
+    """img -> list of 2 feature maps (the VGG16 tower contract)."""
+
+    def __init__(self, seed):
+        g = torch.Generator().manual_seed(seed)
+        self.W1 = 0.1 * torch.randn(PX, 24, generator=g)
+        self.W2 = 0.1 * torch.randn(PX, 8, generator=g)
+
+    def __call__(self, img):
+        flat = img.reshape(img.shape[0], -1)
+        return [(flat @ self.W1).reshape(-1, 2, 3, 4),
+                (flat @ self.W2).reshape(-1, 2, 2, 2)]
+
+    def jax_apply(self):
+        def apply(img):
+            flat = img.transpose(0, 3, 1, 2).reshape(img.shape[0], -1)
+            return [(flat @ jnp.asarray(self.W1.numpy())).reshape(-1, 2, 3, 4),
+                    (flat @ jnp.asarray(self.W2.numpy())).reshape(-1, 2, 2, 2)]
+
+        return apply
+
+
+def test_mani_family_parity(ref_losses):
+    """discriminator_lossMani / generator_lossMani / DCM_generator_loss
+    (losses.py:583-704) vs stub-D/encoder/VGG oracles."""
+    from tgsr_tpu.losses.mani import (
+        dcm_generator_loss,
+        discriminator_loss_mani,
+        generator_loss_mani,
+    )
+
+    reals, fakes = _imgs(90, 2)
+    sent, words, cap_lens, class_ids = _text(91)
+    ones, zeros = torch.ones(B), torch.zeros(B)
+    labels = torch.arange(B)
+    enc = _StubEncoder(92)
+    vgg = _StubVGG(93)
+    d = _StubD(seed=94, sigmoid=True)
+    ds = [_StubD(seed=94 + i, sigmoid=True) for i in range(2)]
+
+    words_j = jnp.asarray(words.numpy().transpose(0, 2, 1))
+    lens_j = jnp.asarray(cap_lens.numpy())
+
+    ref_d = ref_losses.discriminator_lossMani(
+        d, reals[0], fakes[0], sent, ones, zeros, words, cap_lens, enc,
+        class_ids).item()
+    got_d = float(discriminator_loss_mani(
+        *d.jax_closures(), _nhwc(reals[0]), _nhwc(fakes[0]),
+        jnp.asarray(sent.numpy()), enc.jax_apply(), words_j, lens_j,
+        gamma1=5.0, gamma2=5.0))
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-4)
+
+    ref_g, _ = ref_losses.generator_lossMani(
+        ds, enc, fakes, ones, words, sent, labels, cap_lens, class_ids,
+        vgg, reals)
+    got_g, _ = generator_loss_mani(
+        [dd.jax_closures() for dd in ds], enc.jax_apply(), vgg.jax_apply(),
+        [_nhwc(f) for f in fakes], [_nhwc(r) for r in reals],
+        jnp.asarray(sent.numpy()), words_j, lens_j, jnp.asarray(class_ids),
+        gammas=(5.0, 5.0, 10.0), smooth_lambda=1.0)
+    np.testing.assert_allclose(float(got_g), ref_g.item(), rtol=1e-4)
+
+    ref_c, _ = ref_losses.DCM_generator_loss(
+        d, enc, fakes[0], ones, words, sent, labels, cap_lens, class_ids,
+        vgg, reals[0])
+    got_c, _ = dcm_generator_loss(
+        *d.jax_closures(), enc.jax_apply(), _nhwc(fakes[0]),
+        jnp.asarray(sent.numpy()), words_j, lens_j, jnp.asarray(class_ids),
+        gammas=(5.0, 5.0, 10.0), smooth_lambda=1.0)
+    np.testing.assert_allclose(float(got_c), ref_c.item(), rtol=1e-4)
