@@ -54,3 +54,31 @@ def test_orbax_roundtrip(tmp_path):
     assert step == 7
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   np.asarray(state["params"]["w"]))
+
+
+def test_orthogonal_reinit_semantics():
+    """weights_init convention (miscc/utils.py:454-464): orthogonal kernels,
+    BN gamma ~ N(1, 0.02), zero biases, everything else untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tgsr_tpu.utils.init import orthogonal_reinit
+
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3, 8, 16))},
+        "dense": {"kernel": jnp.ones((32, 8)), "bias": jnp.ones((8,))},
+        "bn": {"scale": jnp.zeros((16,)), "bias": jnp.ones((16,))},
+        "emb": {"embedding": jnp.full((10, 4), 7.0)},
+    }
+    out = orthogonal_reinit(params, jax.random.PRNGKey(0))
+
+    k = np.asarray(out["conv"]["kernel"]).reshape(-1, 16)
+    np.testing.assert_allclose(k.T @ k, np.eye(16), atol=1e-5)
+    kd = np.asarray(out["dense"]["kernel"])
+    np.testing.assert_allclose(kd.T @ kd, np.eye(8), atol=1e-5)
+    assert float(np.abs(np.asarray(out["dense"]["bias"])).max()) == 0.0
+    g = np.asarray(out["bn"]["scale"])
+    assert abs(g.mean() - 1.0) < 0.05 and 0 < g.std() < 0.1
+    np.testing.assert_array_equal(np.asarray(out["emb"]["embedding"]),
+                                  np.asarray(params["emb"]["embedding"]))
