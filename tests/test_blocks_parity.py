@@ -153,3 +153,44 @@ def test_downblock_eval_parity():
     }
     got = DownBlock(cout).apply(variables, jnp.asarray(to_nhwc(x.numpy())))
     np.testing.assert_allclose(to_nhwc(ref), np.asarray(got), rtol=1e-4, atol=1e-4)
+
+
+def test_plain_residual_block_oracle():
+    """_Residual_Block (model.py:8-30) -- unused by the eval path in both
+    codebases, but kept structure-exact; random-init torch oracle, both
+    norm modes."""
+    import jax.numpy as jnp
+
+    from tests.reference_oracle import load_reference
+    from tgsr_tpu.checkpoints.convert_torch import _bn_params, _bn_stats, _conv
+    from tgsr_tpu.ops.blocks import PlainResidualBlock
+
+    ref = load_reference()
+    g = torch.Generator().manual_seed(42)
+    x = 0.5 * torch.randn(1, 64, 8, 8, generator=g)
+    for norm in (False, True):
+        torch.manual_seed(41)
+        net = ref["model"]._Residual_Block(norm=norm)
+        net.eval()
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.3)
+                    m.running_var.uniform_(0.5, 2.0)
+        with torch.no_grad():
+            ref_y = net(x)
+
+        sd = net.state_dict()
+        params = {"conv1": {"kernel": _conv(sd["conv1.weight"])},
+                  "conv2": {"kernel": _conv(sd["conv2.weight"])}}
+        variables = {"params": params}
+        if norm:
+            params["in1"] = _bn_params(sd, "in1")
+            params["in2"] = _bn_params(sd, "in2")
+            variables["batch_stats"] = {"in1": _bn_stats(sd, "in1"),
+                                        "in2": _bn_stats(sd, "in2")}
+        m = PlainResidualBlock(64, use_norm=norm)
+        y = m.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 1, 2), ref_y.numpy(),
+            rtol=1e-4, atol=1e-5, err_msg=f"norm={norm}")

@@ -141,3 +141,30 @@ def test_train_steps_scan_matches_loop():
     for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=5e-4)
+
+
+def test_train_step_with_image_encoder():
+    """The DAMSM-terms path inside the G update (generator_loss with a real
+    image_encoder closure): losses finite, w/s terms present and nonzero."""
+    cfg, vocab, text_vars, batch = _setup(B=4)
+
+    E = cfg.TEXT.EMBEDDING_DIM
+    k = jax.random.PRNGKey(7)
+    Wr = 0.05 * jax.random.normal(k, (cfg.pyramid_sizes()[-1] ** 2 * 3, E))
+    Wc = 0.05 * jax.random.normal(jax.random.fold_in(k, 1),
+                                  (cfg.pyramid_sizes()[-1] ** 2 * 3, E))
+
+    def image_encoder_apply(img):
+        flat = img.reshape(img.shape[0], -1)
+        region = jnp.tile((flat @ Wr)[:, None, :], (1, 9, 1))  # [B, R=9, E]
+        return region, flat @ Wc
+
+    trainer = GANTrainer(cfg, vocab, text_vars,
+                         image_encoder_apply=image_encoder_apply)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_size=4)
+    state, metrics, _ = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    assert "w_loss" in metrics and "s_loss" in metrics
+    for name, v in metrics.items():
+        assert np.isfinite(float(v)), name
+    assert abs(float(metrics["w_loss"])) > 0
+    assert abs(float(metrics["s_loss"])) > 0
