@@ -168,3 +168,29 @@ def test_train_step_with_image_encoder():
         assert np.isfinite(float(v)), name
     assert abs(float(metrics["w_loss"])) > 0
     assert abs(float(metrics["s_loss"])) > 0
+
+
+def test_mixed_precision_step_close_to_f32():
+    """compute_dtype=bf16: params/opt stay f32, metrics track the f32 step
+    (bf16 conv stacks; losses and BN moments in f32)."""
+    cfg, vocab, text_vars, batch = _setup(B=4)
+    rng = jax.random.PRNGKey(2)
+
+    t32 = GANTrainer(cfg, vocab, text_vars)
+    s32 = t32.init_state(jax.random.PRNGKey(0), batch_size=4)
+    s32, m32, _ = t32.train_step(s32, batch, rng)
+
+    t16 = GANTrainer(cfg, vocab, text_vars, compute_dtype=jnp.bfloat16)
+    s16 = t16.init_state(jax.random.PRNGKey(0), batch_size=4)
+    s16, m16, _ = t16.train_step(s16, batch, rng)
+
+    # state stays f32 (mixed precision: master weights + stats + opt in f32)
+    for leaf in jax.tree.leaves((s16.g_params, s16.d_params, s16.g_opt,
+                                 s16.d_opt, s16.g_stats, s16.d_stats)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+    for name in m32:
+        a, b = float(m32[name]), float(m16[name])
+        assert np.isfinite(b), name
+        if abs(a) > 1e-3:
+            assert abs(a - b) / abs(a) < 0.15, (name, a, b)

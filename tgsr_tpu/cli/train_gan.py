@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--manualSeed", type=int, default=100)
     parser.add_argument("--log_every", type=int, default=20)
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed precision: bf16 G/D compute, f32 master "
+                             "weights/opt/losses")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest orbax checkpoint under "
                              "--out_dir/ckpt")
@@ -93,7 +96,9 @@ def main(argv=None):
             return cnn.apply(cnn_vars, img)
 
     trainer = GANTrainer(cfg, ds.n_words, text_vars,
-                         image_encoder_apply=image_encoder_apply)
+                         image_encoder_apply=image_encoder_apply,
+                         compute_dtype=jnp.bfloat16 if args.bf16
+                         else jnp.float32)
     state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
                                batch_size=cfg.TRAIN.BATCH_SIZE)
 

@@ -65,10 +65,19 @@ class GANTrainer:
         image_encoder_apply: Optional[Callable] = None,
         mesh: Optional[Mesh] = None,
         ema_decay: float = 0.999,
+        compute_dtype: jnp.dtype = jnp.float32,
     ):
+        """`compute_dtype=jnp.bfloat16` runs the G/D conv stacks in bf16
+        (standard mixed precision): params/optimizer/EMA stay f32, casts
+        happen at apply time, losses and BN batch statistics compute in f32
+        (flax upcasts moments), logits are cast back to f32 before the BCE.
+        Inference fidelity of fully-cast bf16 is 55.7 dB vs f32
+        (docs/PERF.md); training-step metric agreement is tested in
+        tests/test_gan_trainer_sharding.py."""
         self.cfg = cfg
         self.mesh = mesh
         self.ema_decay = ema_decay
+        self.compute_dtype = compute_dtype
         self.text_encoder = TextEncoder(
             vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
             rnn_type=cfg.RNN_TYPE)
@@ -144,20 +153,42 @@ class GANTrainer:
 
     # -- the fused step --------------------------------------------------------
 
+    def _cast(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def _uncast(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
     def _g_forward(self, g_params, g_stats, lr_img, sent, words, mask, rng):
         """Generator chain with mutable batch stats. Returns
-        (fake_pyr, fine_pyr, mu, logvar, new_stats)."""
+        (fake_pyr, fine_pyr, mu, logvar, new_stats) -- all float32 (the
+        conv stacks run in compute_dtype internally)."""
+        lr_img, sent, words = (self._cast(lr_img), self._cast(sent),
+                               self._cast(words))
         (fake, atts, mu, logvar), gupd = self.netg.apply(
-            {"params": g_params["netg"], "batch_stats": g_stats["netg"]},
+            {"params": self._cast(g_params["netg"]),
+             "batch_stats": self._cast(g_stats["netg"])},
             lr_img, sent, words, mask, rng=rng, train=True,
             mutable=["batch_stats"],
         )
         (fine, _, _), ghupd = self.netgh.apply(
-            {"params": g_params["netgh"], "batch_stats": g_stats["netgh"]},
+            {"params": self._cast(g_params["netgh"]),
+             "batch_stats": self._cast(g_stats["netgh"])},
             lr_img, fake, lr_img, train=True, mutable=["batch_stats"],
         )
-        new_stats = {"netg": gupd["batch_stats"], "netgh": ghupd["batch_stats"]}
-        return fake, fine, mu, logvar, new_stats
+        new_stats = self._uncast({"netg": gupd["batch_stats"],
+                                  "netgh": ghupd["batch_stats"]})
+        fake = [f.astype(jnp.float32) for f in fake]
+        fine = [f.astype(jnp.float32) for f in fine]
+        return fake, fine, mu.astype(jnp.float32), logvar.astype(jnp.float32), new_stats
 
     def _d_closures(self, dnet, params, stats_cell, key):
         """Train-mode D closures (torch convention: D always runs in train
@@ -167,22 +198,27 @@ class GANTrainer:
         sequential call order of the reference's discriminator_loss /
         generator_loss (real features -> fake features -> cond heads)."""
 
+        params = self._cast(params)
+
         def _apply(method, *args):
             out, upd = dnet.apply(
-                {"params": params, "batch_stats": stats_cell[key]},
+                {"params": params,
+                 "batch_stats": self._cast(stats_cell[key])},
                 *args, train=True, mutable=["batch_stats"], method=method,
             )
-            stats_cell[key] = upd["batch_stats"]
+            stats_cell[key] = self._uncast(upd["batch_stats"])
             return out
 
         def d_feat(img):
-            return _apply(DNet.features, img)
+            return _apply(DNet.features, self._cast(img))
 
         def d_cond(h, sent):
-            return _apply(DNet.cond_logit, h, sent)
+            # logits back to f32: the BCE losses stay full precision
+            return _apply(DNet.cond_logit, h,
+                          self._cast(sent)).astype(jnp.float32)
 
         def d_uncond(h):
-            return _apply(DNet.uncond_logit, h)
+            return _apply(DNet.uncond_logit, h).astype(jnp.float32)
 
         return d_feat, d_cond, d_uncond
 
