@@ -76,3 +76,40 @@ def test_inception_backbone_shapes():
     n_params = sum(p.size for p in jax.tree.leaves(v["params"]))
     # torchvision inception_v3 backbone (no fc/aux) is ~21.8M params
     assert 20e6 < n_params < 25e6, n_params
+
+
+def test_damsm_mixed_precision_close_to_f32():
+    """compute_dtype=bf16 CNN compute tracks the f32 step; state stays f32."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tgsr_tpu.config import Config
+    from tgsr_tpu.engine.damsm_trainer import DAMSMTrainer
+
+    cfg = Config()
+    B, T, vocab = 4, 18, 12
+    rng = np.random.default_rng(0)
+    batch = {
+        "imgs": jnp.asarray(rng.normal(0, 0.3, (B, 64, 64, 3)).astype(np.float32)),
+        "captions": jnp.asarray(rng.integers(1, vocab, (B, T)).astype(np.int32)),
+        "cap_lens": jnp.asarray(rng.integers(5, T, B).astype(np.int32)),
+        "class_ids": jnp.arange(B, dtype=jnp.int32),
+    }
+    results = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        tr = DAMSMTrainer(cfg, vocab, use_inception=False, compute_dtype=dt)
+        st = tr.init_state(jax.random.PRNGKey(0), image_size=64, batch_size=B)
+        st, m = tr.train_step(st, batch, 2e-3, jax.random.PRNGKey(1))
+        results[name] = {k: float(v) for k, v in m.items()}
+        for leaf in jax.tree.leaves((st.text_params, st.cnn_params,
+                                     st.cnn_stats)):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32, (name, leaf.dtype)
+    for k in results["f32"]:
+        a, b = results["f32"][k], results["bf16"][k]
+        assert np.isfinite(b), k
+        if abs(a) > 1e-3:
+            assert abs(a - b) / abs(a) < 0.1, (k, a, b)

@@ -30,11 +30,14 @@ def main(argv=None):
     parser.add_argument("--simple-cnn", action="store_true",
                         help="use the trainable SimpleCNNEncoder instead of "
                              "Inception-v3 (no zoo weights needed)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed precision: bf16 CNN encoder compute")
     parser.add_argument("--inception_ckpt", default="",
                         help="local torchvision inception_v3 .pth to load")
     args = parser.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
 
     from tgsr_tpu.checkpoints.io import save_variables
     from tgsr_tpu.config import config_from_file
@@ -75,7 +78,9 @@ def main(argv=None):
                              imsize=imsize)
 
     trainer = DAMSMTrainer(cfg, train_ds.n_words,
-                           use_inception=not args.simple_cnn)
+                           use_inception=not args.simple_cnn,
+                           compute_dtype=jnp.bfloat16 if args.bf16
+                           else jnp.float32)
     state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
                                image_size=imsize,
                                batch_size=cfg.TRAIN.BATCH_SIZE)

@@ -45,9 +45,14 @@ class DAMSMState(struct.PyTreeNode):
 
 class DAMSMTrainer:
     def __init__(self, cfg: Config, vocab_size: int,
-                 use_inception: bool = True, freeze_backbone: bool = True):
+                 use_inception: bool = True, freeze_backbone: bool = True,
+                 compute_dtype: jnp.dtype = jnp.float32):
+        """`compute_dtype=bf16` runs the CNN encoder in bf16 (mixed
+        precision: f32 master weights/losses/BN moments); the DAMSM losses
+        and the tiny bi-LSTM stay f32."""
         self.cfg = cfg
         self.vocab_size = vocab_size
+        self.compute_dtype = compute_dtype
         self.freeze_backbone = freeze_backbone and use_inception
         self.text_encoder = TextEncoder(
             vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
@@ -101,7 +106,24 @@ class DAMSMTrainer:
             opt_state=tx.init(params),
         )
 
+    def _cast(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def _uncast(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
     def _apply_cnn(self, params, stats, imgs, train: bool):
+        params = self._cast(params)
+        stats = self._cast(stats)
+        imgs = self._cast(imgs)
         variables = {"params": params}
         if stats:
             variables["batch_stats"] = stats
@@ -111,9 +133,11 @@ class DAMSMTrainer:
         if train and stats:
             (feat, code), upd = self.cnn_encoder.apply(
                 variables, imgs, train=True, mutable=["batch_stats"], **kw)
-            return feat, code, upd["batch_stats"]
+            return (feat.astype(jnp.float32), code.astype(jnp.float32),
+                    self._uncast(upd["batch_stats"]))
         feat, code = self.cnn_encoder.apply(variables, imgs, train=False, **kw)
-        return feat, code, stats
+        return (feat.astype(jnp.float32), code.astype(jnp.float32),
+                self._uncast(stats))
 
     def _loss(self, params, stats, batch, train, dropout_rng=None):
         cfg = self.cfg
