@@ -194,3 +194,26 @@ def test_mixed_precision_step_close_to_f32():
         assert np.isfinite(b), name
         if abs(a) > 1e-3:
             assert abs(a - b) / abs(a) < 0.15, (name, a, b)
+
+
+def test_grad_accumulation():
+    """grad_accum=2: params frozen on odd micro-steps, applied on even;
+    EMA/stats still tick every step; metrics finite."""
+    cfg, vocab, text_vars, batch = _setup(B=4)
+    tr = GANTrainer(cfg, vocab, text_vars, grad_accum=2)
+    state = tr.init_state(jax.random.PRNGKey(0), batch_size=4)
+    p0 = jax.tree.map(np.asarray, state.g_params)
+    rng = jax.random.PRNGKey(2)
+
+    state, m1, rng = tr.train_step(state, batch, rng)
+    p1 = jax.tree.map(np.asarray, state.g_params)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(a, b)  # accumulation step: no update
+
+    state, m2, rng = tr.train_step(state, batch, rng)
+    p2 = jax.tree.map(np.asarray, state.g_params)
+    changed = sum(not np.array_equal(a, b) for a, b in
+                  zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
+    assert changed > len(jax.tree.leaves(p1)) // 2
+    for name, v in m2.items():
+        assert np.isfinite(float(v)), name

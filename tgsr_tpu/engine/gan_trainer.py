@@ -66,6 +66,7 @@ class GANTrainer:
         mesh: Optional[Mesh] = None,
         ema_decay: float = 0.999,
         compute_dtype: jnp.dtype = jnp.float32,
+        grad_accum: int = 1,
     ):
         """`compute_dtype=jnp.bfloat16` runs the G/D conv stacks in bf16
         (standard mixed precision): params/optimizer/EMA stay f32, casts
@@ -96,6 +97,13 @@ class GANTrainer:
         ]
         self.g_tx = optax.adam(cfg.TRAIN.GENERATOR_LR, b1=0.5, b2=0.999)
         self.d_tx = optax.adam(cfg.TRAIN.DISCRIMINATOR_LR, b1=0.5, b2=0.999)
+        if grad_accum > 1:
+            # effective batch = grad_accum * batch: grads accumulate across
+            # micro-steps, both optimizers apply every grad_accum-th step
+            # (the D-then-G ordering holds at each application step)
+            self.g_tx = optax.MultiSteps(self.g_tx, grad_accum)
+            self.d_tx = optax.MultiSteps(self.d_tx, grad_accum)
+        self.grad_accum = grad_accum
         self.train_step = self._build_train_step()
         self._train_scan = None  # built lazily (compile cost)
 
