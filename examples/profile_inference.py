@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Profile the x8 SR inference hot path on the TPU and print top HLO ops.
+
+Captures a jax.profiler trace of the bench's scan-of-microbatches program
+(real face_S8 checkpoints, bf16) and parses the xplane with xprof/
+tensorboard_plugin_profile into an HLO-op self-time table — the data
+behind docs/PERF.md's "where the time goes".
+
+Usage: python examples/profile_inference.py [B] [M] [iters]
+"""
+
+import glob
+import os
+import pickle
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    M = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.engine.inference import SRPipeline, _cast_floats
+
+    ref = "/root/reference"
+    cfg = config_from_file(os.path.join(ref, "cfg/eval_faceSR_attn2.yml"))
+    with open(os.path.join(ref, "data/face/testset.pickle"), "rb") as f:
+        caps, ixtoword, _ = pickle.load(f)
+    vocab = len(ixtoword)
+    img = Image.open(os.path.join(ref, "data/face/000155.png")).convert("RGB")
+    lr1 = np.asarray(img.resize((32, 32), Image.BICUBIC),
+                     np.float32) / 127.5 - 1.0
+
+    T = cfg.TEXT.WORDS_NUM
+    tok = np.zeros((len(caps), T), np.int32)
+    lens = np.zeros((len(caps),), np.int32)
+    for i, c in enumerate(caps):
+        L = min(len(c), T)
+        tok[i, :L] = c[:L]
+        lens[i] = L
+
+    pipe = SRPipeline.from_reference_checkpoints(
+        cfg, vocab,
+        os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
+        compute_dtype=jnp.bfloat16)
+
+    def sr_one(variables, lr_b, cap_b, len_b):
+        words, sent = pipe.text_encoder.apply(variables["text"], cap_b, len_b)
+        mask = cap_b == 0
+        cdt = jnp.bfloat16
+        fake, _, _, _ = pipe.netg.apply(
+            _cast_floats(variables["netg"], cdt), lr_b.astype(cdt),
+            sent.astype(cdt), words.astype(cdt), mask)
+        fine, _, _ = pipe.netgh.apply(
+            _cast_floats(variables["netgh"], cdt), lr_b.astype(cdt), fake,
+            lr_b.astype(cdt))
+        return fine[-1]
+
+    @jax.jit
+    def scan_checksum(variables, lr_m, cap_m, len_m, salt):
+        def body(c, x):
+            sr = sr_one(variables, x[0] + salt * 1e-6, x[1], x[2])
+            return c + jnp.sum(sr.astype(jnp.float32)), None
+        s, _ = jax.lax.scan(body, 0.0, (lr_m, cap_m, len_m))
+        return s
+
+    rng = np.random.default_rng(0)
+    reps = int(np.ceil(B * M / len(caps)))
+    tokB = jax.device_put(np.tile(tok, (reps, 1))[:B * M].reshape(M, B, T))
+    lensB = jax.device_put(np.tile(lens, reps)[:B * M].reshape(M, B))
+    lrB = jax.device_put(
+        (np.broadcast_to(lr1, (M, B, 32, 32, 3))
+         + rng.normal(0, 0.01, (M, B, 32, 32, 3))).astype(np.float32))
+
+    print(f"[profile] warmup B={B} M={M}", file=sys.stderr)
+    float(scan_checksum(pipe.variables, lrB, tokB, lensB, 0.0))
+
+    logdir = tempfile.mkdtemp(prefix="sr_prof_")
+    jax.profiler.start_trace(logdir)
+    for i in range(iters):
+        float(scan_checksum(pipe.variables, lrB, tokB, lensB, float(i + 1)))
+    jax.profiler.stop_trace()
+    print(f"[profile] trace in {logdir}", file=sys.stderr)
+
+    print_op_table(logdir, n_images=B * M * iters)
+
+
+def print_op_table(logdir, n_images=None, top=25):
+    from xprof.convert import raw_to_tool_data as rttd
+
+    xplanes = glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.xplane.pb"))
+    assert xplanes, f"no xplane under {logdir}"
+    data, _ = rttd.xspace_to_tool_data(xplanes, "hlo_stats", {})
+    import json
+    tab = json.loads(data.decode() if isinstance(data, bytes) else data)
+    ids = [c["id"] for c in tab["cols"]]
+
+    def get(row, cid):
+        v = row["c"][ids.index(cid)]
+        return v.get("v") if v else None
+
+    recs = []
+    for row in tab["rows"]:
+        recs.append({
+            "cat": get(row, "category"),
+            "name": get(row, "hlo_op_name") or "",
+            "self_us": float(get(row, "total_self_time") or 0),
+            "occ": int(get(row, "occurrences") or 0),
+            "bw": get(row, "measured_memory_bw"),
+            "gflops": get(row, "model_flop_rate"),
+            "bound": get(row, "bound_by") or get(row, "roofline_efficiency"),
+        })
+    recs.sort(key=lambda r: -r["self_us"])
+    total_us = sum(r["self_us"] for r in recs)
+    print(f"\ntotal device self time: {total_us/1e3:.1f} ms"
+          + (f"  ({total_us/n_images:.1f} us/img)" if n_images else ""))
+    print(f"{'self ms':>9} {'%':>5} {'occ':>5} {'GiB/s':>7} "
+          f"{'GFLOP/s':>8}  {'category':<18} name")
+    for r in recs[:top]:
+        bw = f"{float(r['bw']):7.1f}" if r["bw"] not in (None, "") else "      -"
+        gf = (f"{float(r['gflops']):8.0f}"
+              if r["gflops"] not in (None, "") else "       -")
+        print(f"{r['self_us']/1e3:9.2f} {r['self_us']/total_us*100:5.1f} "
+              f"{r['occ']:5d} {bw} {gf}  {str(r['cat'])[:18]:<18} "
+              f"{r['name'][:60]}")
+    return recs
+
+
+if __name__ == "__main__":
+    main()
