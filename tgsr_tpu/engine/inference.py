@@ -45,11 +45,15 @@ class SRPipeline:
         compute_dtype: jnp.dtype = jnp.float32,
         return_attn: bool = False,
         fused_upsample: bool = False,
+        quant_scales: Optional[Dict[str, Dict[str, float]]] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.return_attn = return_attn
+        # int8 serving mode (engine/quant.py): {"netg": {...}, "netgh": {...}}
+        # calibrated per-conv activation scales; None = full-precision path
+        self.quant_scales = quant_scales or {}
 
         self.text_encoder = TextEncoder(
             vocab_size=vocab_size,
@@ -140,6 +144,52 @@ class SRPipeline:
 
     # -- forward -------------------------------------------------------------
 
+    def _quant_ctx(self, which: str):
+        """Interceptor context for the int8 serving mode (no-op without
+        calibrated scales for `which`)."""
+        import contextlib
+
+        scales = self.quant_scales.get(which)
+        if not scales:
+            return contextlib.nullcontext()
+        from flax import linen as nn
+
+        from tgsr_tpu.engine.quant import quant_interceptor
+
+        return nn.intercept_methods(quant_interceptor(scales))
+
+    def calibrate_quant(self, lr, captions, cap_lens,
+                        margin: float = 1.1) -> Dict[str, Dict[str, float]]:
+        """Calibrate int8 activation scales on representative inputs by
+        running the full-precision forward once (one compiled program) and
+        recording every conv input's absmax (engine/quant.py). The result
+        feeds SRPipeline(quant_scales=...); `margin` head-rooms unseen data.
+        """
+        from tgsr_tpu.engine.quant import calibrate
+
+        cdt = self.compute_dtype
+        v = self.variables
+
+        def run_g(lr_c, words_c, sent_c, mask):
+            return self.netg.apply(
+                _cast_floats(v["netg"], cdt), lr_c, sent_c, words_c, mask)
+
+        def run_gh(lr_c, fake_imgs):
+            return self.netgh.apply(
+                _cast_floats(v["netgh"], cdt), lr_c, fake_imgs, lr_c)
+
+        words, sent = jax.jit(self.text_encoder.apply)(
+            v["text"], jnp.asarray(captions), jnp.asarray(cap_lens))
+        lr_c = jnp.asarray(lr).astype(cdt)
+        mask = jnp.asarray(captions) == 0
+        netg_scales = calibrate(
+            run_g, lr_c, words.astype(cdt), sent.astype(cdt), mask,
+            margin=margin)
+        fake_imgs = jax.jit(run_g)(lr_c, words.astype(cdt),
+                                   sent.astype(cdt), mask)[0]
+        netgh_scales = calibrate(run_gh, lr_c, fake_imgs, margin=margin)
+        return {"netg": netg_scales, "netgh": netgh_scales}
+
     def _build_forward(self):
         cdt = self.compute_dtype
         return_attn = self.return_attn
@@ -153,12 +203,16 @@ class SRPipeline:
             lr_c = lr.astype(cdt)
             words_c = words.astype(cdt)
             sent_c = sent.astype(cdt)
-            fake_imgs, att_maps, mu, logvar = self.netg.apply(
-                _cast_floats(variables["netg"], cdt), lr_c, sent_c, words_c, mask
-            )
-            fine, _, _ = self.netgh.apply(
-                _cast_floats(variables["netgh"], cdt), lr_c, fake_imgs, lr_c
-            )
+            with self._quant_ctx("netg"):
+                fake_imgs, att_maps, mu, logvar = self.netg.apply(
+                    _cast_floats(variables["netg"], cdt), lr_c, sent_c,
+                    words_c, mask
+                )
+            with self._quant_ctx("netgh"):
+                fine, _, _ = self.netgh.apply(
+                    _cast_floats(variables["netgh"], cdt), lr_c, fake_imgs,
+                    lr_c
+                )
             sr = fine[-1].astype(jnp.float32)
             out = {"sr": sr, "pyramid": [f.astype(jnp.float32) for f in fine]}
             if return_attn:
@@ -202,12 +256,15 @@ class SRPipeline:
                 words, sent = self.text_encoder.apply(
                     variables["text"], cap_b, len_b)
                 mask = cap_b == 0
-                fake, _, _, _ = self.netg.apply(
-                    _cast_floats(variables["netg"], cdt), lr_b.astype(cdt),
-                    sent.astype(cdt), words.astype(cdt), mask)
-                fine, _, _ = self.netgh.apply(
-                    _cast_floats(variables["netgh"], cdt), lr_b.astype(cdt),
-                    fake, lr_b.astype(cdt))
+                with self._quant_ctx("netg"):
+                    fake, _, _, _ = self.netg.apply(
+                        _cast_floats(variables["netg"], cdt),
+                        lr_b.astype(cdt), sent.astype(cdt),
+                        words.astype(cdt), mask)
+                with self._quant_ctx("netgh"):
+                    fine, _, _ = self.netgh.apply(
+                        _cast_floats(variables["netgh"], cdt),
+                        lr_b.astype(cdt), fake, lr_b.astype(cdt))
                 sr = fine[-1].astype(jnp.float32)
                 return jnp.round(
                     jnp.clip((sr + 1.0) * 127.5, 0, 255)).astype(jnp.uint8)

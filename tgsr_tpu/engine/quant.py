@@ -1,0 +1,214 @@
+"""Int8 quantized inference (TPU-native serving mode).
+
+The x8 SR pipeline is HBM-bandwidth-bound with its hottest convs at ~73% of
+bf16 MXU peak (docs/PERF.md round-2 profile). The v5e MXU runs int8 at 2x
+the bf16 rate and int8 activations halve HBM traffic, so a quantized
+serving path is the one remaining large lever. This module implements
+post-training symmetric int8 quantization for every conv in the generator
+stack:
+
+  * weights: per-output-channel absmax int8 (computed from the loaded
+    checkpoint at trace time; XLA folds it)
+  * activations: per-tensor static scales, calibrated by running the bf16
+    pipeline on representative inputs and recording per-conv input absmax
+  * accumulation in int32 on the MXU, dequantized per-channel into the
+    bf16 epilogue (BN/GLU/bias unchanged)
+
+No model-code changes: a flax method interceptor (nn.intercept_methods)
+substitutes the quantized conv at every nn.Conv call site, plus the
+UpBlock hot path (ops/blocks.py:138-171, a raw lax conv on a nearest-up2
+input — quantization happens BEFORE the upsample, which commutes, so the
+broadcast also moves 2x less data).
+
+There is no reference analogue (the reference is f32-only, single GPU);
+this is framework-level serving infrastructure. Fidelity is measured, not
+assumed: tests pin the quantized conv math, and bench/PERF.md record the
+e2e PSNR delta of the quantized pipeline against the f32 protocol metric.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tgsr_tpu.ops.blocks import UpBlock, glu, upsample_nearest2x
+
+QMAX = 127.0
+
+
+def quantize_kernel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """HWIO kernel -> (int8 kernel, per-output-channel step) with symmetric
+    absmax scaling: w ~= wq * step[None, None, None, :]."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=(0, 1, 2))
+    step = jnp.maximum(absmax, 1e-12) / QMAX
+    wq = jnp.round(w32 / step).astype(jnp.int8)
+    return wq, step
+
+
+def quantize_act(x: jax.Array, scale: float) -> Tuple[jax.Array, jax.Array]:
+    """Per-tensor symmetric activation quantization: x ~= xq * step."""
+    step = jnp.asarray(max(scale, 1e-12) / QMAX, jnp.float32)
+    xq = jnp.round(
+        jnp.clip(x.astype(jnp.float32) / step, -QMAX, QMAX)).astype(jnp.int8)
+    return xq, step
+
+
+def _norm_strides(s) -> Sequence[int]:
+    if s is None:
+        return (1, 1)
+    if isinstance(s, int):
+        return (s, s)
+    return tuple(s)
+
+
+def quant_conv(x: jax.Array, kernel: jax.Array, scale: float,
+               strides=(1, 1), padding="SAME",
+               feature_group_count: int = 1,
+               out_dtype=jnp.bfloat16) -> jax.Array:
+    """int8 x int8 -> int32 conv, dequantized per-output-channel.
+
+    `scale` is the calibrated input absmax; symmetric quantization keeps
+    quantized zero == 0, so SAME zero-padding is exact.
+    """
+    xq, x_step = quantize_act(x, scale)
+    wq, w_step = quantize_kernel(kernel)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, _norm_strides(strides), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (x_step * w_step)).astype(out_dtype)
+
+
+def _conv_key(path: Tuple[str, ...]) -> str:
+    return "/".join(path)
+
+
+def _eligible(mod, method_name: str) -> Optional[str]:
+    """Returns the scales-dict key when this interceptor call is a conv we
+    quantize, else None."""
+    if method_name != "__call__" or mod.is_initializing():
+        return None
+    if isinstance(mod, nn.Conv):
+        return _conv_key(mod.path)
+    if isinstance(mod, UpBlock) and not mod.fused:
+        # the raw lax conv inside UpBlock holds its kernel under <path>/conv
+        return _conv_key(tuple(mod.path) + ("conv",))
+    return None
+
+
+def calib_interceptor(records: Dict[str, jax.Array]) -> Callable:
+    """Interceptor recording per-conv input absmax into `records` (traced
+    scalars; return them from the surrounding jit to fetch)."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        key = _eligible(context.module, context.method_name)
+        if key is not None:
+            m = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+            records[key] = jnp.maximum(records[key], m) \
+                if key in records else m
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def quant_interceptor(scales: Dict[str, float],
+                      out_dtype=jnp.bfloat16) -> Callable:
+    """Interceptor substituting int8 convs for every nn.Conv / UpBlock whose
+    path has a calibrated scale. Paths absent from `scales` run unquantized
+    (the mechanism for keeping e.g. image heads in bf16)."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        key = _eligible(mod, context.method_name)
+        if key is None or key not in scales:
+            return next_fun(*args, **kwargs)
+        if isinstance(mod, nn.Conv):
+            if (mod.kernel_dilation not in (1, (1, 1), None)
+                    or mod.input_dilation not in (1, (1, 1), None)):
+                return next_fun(*args, **kwargs)
+            x = args[0]
+            y = quant_conv(x, mod.variables["params"]["kernel"], scales[key],
+                           strides=mod.strides, padding=mod.padding,
+                           feature_group_count=mod.feature_group_count,
+                           out_dtype=x.dtype)
+            if mod.use_bias:
+                y = y + mod.variables["params"]["bias"].astype(y.dtype)
+            return y
+        # UpBlock: quantize BEFORE the nearest-up2 (commutes; the broadcast
+        # then moves int8), conv in int8, BN(eval)+GLU epilogue as usual.
+        #
+        # Negative result (docs/PERF.md int8 section): splitting the conv
+        # into its GLU value/gate halves so the sigmoid-multiply could ride
+        # the conv epilogues benches SLOWER (3634 vs 3812 img/s at 768x64)
+        # -- the duplicate int8 input read costs more than the avoided
+        # GLU-pass materialization saves. Kept single-conv.
+        x = args[0]
+        train = kwargs.get("train", args[1] if len(args) > 1 else False)
+        if train:
+            return next_fun(*args, **kwargs)
+        xq, x_step = quantize_act(x, scales[key])
+        wq, w_step = quantize_kernel(mod.variables["params"]["conv"]["kernel"])
+        y = jax.lax.conv_general_dilated(
+            upsample_nearest2x(xq), wq, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y.astype(jnp.float32) * (x_step * w_step)).astype(x.dtype)
+        if mod.use_bn:
+            p = mod.variables["params"]["bn"]
+            s = mod.variables["batch_stats"]["bn"]
+            mul = p["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+                s["var"].astype(jnp.float32) + 1e-5)
+            add = p["bias"].astype(jnp.float32) - \
+                s["mean"].astype(jnp.float32) * mul
+            y = (y.astype(jnp.float32) * mul + add).astype(x.dtype)
+        return glu(y)
+
+    return interceptor
+
+
+def calibrate(run_fn: Callable, *args, margin: float = 1.0,
+              jit: bool = True) -> Dict[str, float]:
+    """Run `run_fn(*args)` (a function that internally applies flax modules)
+    under the calibration interceptor; returns {conv path: absmax * margin}.
+
+    With jit=True the whole calibration is one compiled program (required on
+    the axon TPU platform where eager ops pay remote-compile round trips).
+    """
+    def wrapped(*a):
+        records: Dict[str, jax.Array] = {}
+        with nn.intercept_methods(calib_interceptor(records)):
+            run_fn(*a)
+        return records
+
+    rec = jax.jit(wrapped)(*args) if jit else wrapped(*args)
+    return {k: float(v) * margin for k, v in rec.items()}
+
+
+def merge_scales(*dicts: Dict[str, float]) -> Dict[str, float]:
+    """Pointwise max over several calibration runs."""
+    out: Dict[str, float] = {}
+    for d in dicts:
+        for k, v in d.items():
+            out[k] = max(out.get(k, 0.0), v)
+    return out
+
+
+def face_s8_scales() -> Dict[str, Dict[str, float]]:
+    """Shipped calibration for the reference face_S8 checkpoints (margin
+    1.1, noise-augmented face batch; see SRPipeline.calibrate_quant to
+    regenerate). Keys: {"netg": {...}, "netgh": {...}}."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "checkpoints",
+        "face_s8_int8_scales.json")
+    with open(path) as f:
+        return json.load(f)
