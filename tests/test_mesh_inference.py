@@ -75,3 +75,37 @@ def test_forward_scan_under_mesh_sharding():
         jax.device_put(lrM, dsh(5)), jax.device_put(capsM, dsh(3)),
         jax.device_put(lensM, dsh(2))))
     np.testing.assert_array_equal(out_ref, out_mesh)
+
+
+def test_int8_quant_under_mesh_sharding():
+    """The int8 interceptor composes with DP mesh sharding: sharded
+    quantized inference == unsharded quantized inference (and differs from
+    the full-precision path only by quantization noise)."""
+    cfg = Config()
+    pipe, lr, caps, lens = _build(cfg, mesh=None)
+    scales = pipe.calibrate_quant(lr, caps, lens)
+    assert scales["netg"] and scales["netgh"]
+
+    qpipe = SRPipeline(pipe.cfg, 41, pipe.variables["text"],
+                       pipe.variables["netg"], pipe.variables["netgh"],
+                       quant_scales=scales)
+    out_q = np.asarray(qpipe(lr, caps, lens)["sr"])
+
+    mesh = make_mesh(n_data=8)
+    qpipe_mesh = SRPipeline(pipe.cfg, 41, pipe.variables["text"],
+                            pipe.variables["netg"], pipe.variables["netgh"],
+                            mesh=mesh, quant_scales=scales)
+    batch = shard_batch({"lr": lr, "captions": caps, "cap_lens": lens}, mesh)
+    out_q_mesh = np.asarray(
+        qpipe_mesh(batch["lr"], batch["captions"], batch["cap_lens"])["sr"])
+    # sharded/unsharded programs tile convs differently; ulp-level f32
+    # differences BEFORE round() flip occasional values by one int8 level,
+    # so quantized equality is one-quant-step, not float-exact
+    assert np.abs(out_q - out_q_mesh).max() < 0.02
+    assert np.abs(out_q - out_q_mesh).mean() < 1e-3
+
+    # quantization actually engaged (outputs differ from full precision)
+    out_f = np.asarray(pipe(lr, caps, lens)["sr"])
+    assert np.abs(out_q - out_f).max() > 1e-5
+    # ... but only by quantization noise
+    assert np.abs(out_q - out_f).max() < 0.15

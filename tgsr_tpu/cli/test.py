@@ -97,6 +97,11 @@ def main(argv=None):
                         help="with --arbitrary: pad LR sizes up to multiples "
                              "of BUCKET to bound the XLA compile count "
                              "(0 = exact native shapes)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 quantized serving (engine/quant.py): "
+                             "calibrates activation scales on the first "
+                             "batch, then runs every generator conv in int8"
+                             " (e2e PSNR-Y cost ~0.05 dB, docs/PERF.md)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -178,6 +183,25 @@ def main(argv=None):
     import jax
 
     from tgsr_tpu.ops.image import normalize_uint8, resize
+
+    if args.int8:
+        # calibrate on the first batch, then rebuild the pipeline with the
+        # int8 interceptor active (opt-in serving mode; engine/quant.py)
+        cal = next(iter(BatchLoader(
+            ds, min(args.batch, len(ds)), shuffle=False, drop_last=False,
+            deterministic_captions=True).epoch(0)))
+        cal_lr = jax.jit(lambda h: resize(
+            normalize_uint8(h), (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE),
+            "bilinear"))(jnp.asarray(cal["hr"]))
+        scales = pipe.calibrate_quant(cal_lr, cal["captions"],
+                                      cal["cap_lens"])
+        pipe = SRPipeline(
+            cfg, ds.n_words, pipe.variables["text"], pipe.variables["netg"],
+            pipe.variables["netgh"],
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            return_attn=True, quant_scales=scales)
+        print(f"int8 serving: calibrated {len(scales['netg'])}+"
+              f"{len(scales['netgh'])} convs on batch 0")
 
     # one jitted degrade fn: eager ops on the axon platform pay a
     # remote-compile round trip per op

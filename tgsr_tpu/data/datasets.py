@@ -458,6 +458,23 @@ class TextExampleSRDataset(_CaptionDatasetBase):
                 filenames = (tr + te)[: len(caps)]
             else:
                 filenames = [f"{i:06d}.png" for i in range(len(caps))]
+            # partial snapshots (e.g. the reference ships ONE test image for
+            # thousands of attr rows): keep only caption/file pairs whose
+            # image exists, so the eval loop can run on whatever is present
+            present = [i for i, fn in enumerate(filenames)
+                       if os.path.exists(os.path.join(data_dir, image_subdir,
+                                                      fn))
+                       or os.path.exists(os.path.join(data_dir, fn))]
+            if present and len(present) < len(filenames):
+                import warnings
+
+                warnings.warn(
+                    f"TextExampleSRDataset: {len(filenames) - len(present)}"
+                    f"/{len(filenames)} listed images missing under "
+                    f"{data_dir}; evaluating the {len(present)} present")
+                filenames = [filenames[i] for i in present]
+                self.captions = [self.captions[i] for i in present
+                                 if i < len(self.captions)]
         self.filenames = filenames
         self.class_id = np.arange(len(self.filenames))
 
