@@ -35,6 +35,9 @@ def main():
                    help="distinct device-resident batches cycled")
     p.add_argument("--scan", action="store_true",
                    help="run n-batches steps per dispatch via train_steps")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision (GANTrainer compute_dtype=bf16); "
+                        "required for batch >= 128 on one v5e (docs/PERF.md)")
     args = p.parse_args()
 
     if args.cpu:
@@ -106,7 +109,9 @@ def main():
     enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
     text_vars = enc.init(k, jnp.asarray(batches[0]["captions"]),
                          jnp.asarray(batches[0]["cap_lens"]))
-    trainer = GANTrainer(cfg, vocab, text_vars)
+    trainer = GANTrainer(
+        cfg, vocab, text_vars,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
     t0 = time.perf_counter()
     state = trainer.init_state(k, batch_size=B)

@@ -119,3 +119,38 @@ def test_convert_netg_low16_loads():
     a = jax.tree.structure(ref["params"])
     b = jax.tree.structure(variables["params"])
     assert a == b, f"{a}\n!=\n{b}"
+
+
+def test_x16_int8_quant_path():
+    """The int8 interceptor is model-agnostic: calibrate + run the x16
+    family (tied stages, shared blocks) quantized; outputs differ from
+    full precision only by quantization noise."""
+    cfg = _cfg16()
+    vocab, B, T = 41, 2, 18
+    k = jax.random.PRNGKey(0)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    caps = jnp.ones((B, T), jnp.int32)
+    lens = jnp.full((B,), 6, jnp.int32)
+    tv = enc.init(k, caps, lens)
+    words, sent = enc.apply(tv, caps, lens)
+    lr = jax.random.normal(k, (B, 16, 16, 3)) * 0.3
+
+    from tgsr_tpu.models.models16 import NetGHighWeight16
+
+    netg = GSRNetLow16(ngf=32)
+    gv = netg.init(k, lr, sent, words, caps == 0)
+    fake, *_ = netg.apply(gv, lr, sent, words, caps == 0)
+    netgh = NetGHighWeight16(ngf=32, low="lr", sizes=(32, 64, 128, 256))
+    ghv = netgh.init(k, lr, fake, lr)
+
+    pipe = SRPipeline(cfg, vocab, tv, gv, ghv)
+    lr_n, caps_n, lens_n = np.asarray(lr), np.asarray(caps), np.asarray(lens)
+    out_f = np.asarray(pipe(lr_n, caps_n, lens_n)["sr"])
+
+    scales = pipe.calibrate_quant(lr_n, caps_n, lens_n)
+    assert scales["netg"] and scales["netgh"]
+    qpipe = SRPipeline(cfg, vocab, tv, gv, ghv, quant_scales=scales)
+    out_q = np.asarray(qpipe(lr_n, caps_n, lens_n)["sr"])
+    assert out_q.shape == out_f.shape
+    d = np.abs(out_q - out_f)
+    assert 1e-6 < d.max() < 0.2, d.max()
