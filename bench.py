@@ -106,7 +106,7 @@ def main():
     best, best_cfg = 0.0, ""
     # round-2 sweep (docs/PERF.md): longer scans amortize the ~170 ms
     # per-dispatch overhead; 768 is the per-step memory sweet spot
-    for B, M in ((768, 8), (768, 16), (768, 64)):
+    for B, M in ((768, 16), (768, 64)):
         reps = int(np.ceil(B * M / n_caps))
         tokB = jax.device_put(np.tile(tok, (reps, 1))[: B * M].reshape(M, B, T))
         lensB = jax.device_put(np.tile(lens, reps)[: B * M].reshape(M, B))
