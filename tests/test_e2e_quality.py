@@ -127,3 +127,19 @@ def test_e2e_quality_parity():
         f"quality delta {abs(psnr_ref_gt - psnr_tpu_gt):.3f} dB > 0.1")
     assert abs(ssim_ref_gt - ssim_tpu_gt) <= 1e-3
     assert psnr_cross >= 40.0, f"cross PSNR {psnr_cross:.2f} < 40"
+
+    # ---- int8 serving mode under the SAME protocol (backs the bench's
+    # quality gate: the quantized pipeline must stay within the 0.1 dB
+    # north-star bar of the torch reference) ----
+    scales = pipe.calibrate_quant(lr[None], tok.astype(np.int32),
+                                  lens.astype(np.int32))
+    qpipe = SRPipeline(cfg, vocab, pipe.variables["text"],
+                       pipe.variables["netg"], pipe.variables["netgh"],
+                       quant_scales=scales)
+    sr_q = qpipe.sr_uint8(lr[None], tok.astype(np.int32),
+                          lens.astype(np.int32))[0]
+    psnr_q_gt = _psnr(_rgb2y_uint8(sr_q), y_gt)
+    print(f"  int8     : PSNR-Y {psnr_q_gt:.3f} dB "
+          f"(delta {abs(psnr_ref_gt - psnr_q_gt):.3f})")
+    assert abs(psnr_ref_gt - psnr_q_gt) <= 0.1, (
+        f"int8 quality delta {abs(psnr_ref_gt - psnr_q_gt):.3f} dB > 0.1")
