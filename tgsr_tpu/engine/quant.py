@@ -200,10 +200,28 @@ def merge_scales(*dicts: Dict[str, float]) -> Dict[str, float]:
     return out
 
 
-def face_s8_scales() -> Dict[str, Dict[str, float]]:
+def drop_head_scales(scales: Dict[str, Dict[str, float]]
+                     ) -> Dict[str, Dict[str, float]]:
+    """Remove the image-head convs (img_net*/conv_output) from a scales
+    dict so they run bf16.
+
+    Measured (docs/PERF.md): quantizing the heads LOSES -- their int8 form
+    forces a standalone GLU+requantize pass over each 256px feature tensor,
+    while a bf16 head reads the GLU as a free conv input fusion; and the
+    3-channel head conv is lane-underfill-bound either way. bf16 heads:
+    3905 vs 3812 img/s AND better fidelity (39.7 vs 38.9 dB vs bf16)."""
+    return {g: {k: v for k, v in d.items()
+                if "img_net" not in k and "conv_output" not in k}
+            for g, d in scales.items()}
+
+
+def face_s8_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
     """Shipped calibration for the reference face_S8 checkpoints (margin
     1.1, noise-augmented face batch; see SRPipeline.calibrate_quant to
-    regenerate). Keys: {"netg": {...}, "netgh": {...}}."""
+    regenerate). Keys: {"netg": {...}, "netgh": {...}}.
+
+    heads=False (default) leaves the image-head convs in bf16 -- the
+    faster AND higher-fidelity configuration (see drop_head_scales)."""
     import json
     import os
 
@@ -211,4 +229,5 @@ def face_s8_scales() -> Dict[str, Dict[str, float]]:
         os.path.abspath(__file__))), "checkpoints",
         "face_s8_int8_scales.json")
     with open(path) as f:
-        return json.load(f)
+        scales = json.load(f)
+    return scales if heads else drop_head_scales(scales)
