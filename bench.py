@@ -34,7 +34,7 @@ def main():
     from PIL import Image
 
     from tgsr_tpu.config import config_from_file, default_config
-    from tgsr_tpu.engine.inference import SRPipeline, _cast_floats
+    from tgsr_tpu.engine.inference import SRPipeline
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
@@ -73,34 +73,9 @@ def main():
         compute_dtype=jnp.bfloat16,
     )
 
-    def make_scan(p):
-        def sr_one(variables, lr_b, cap_b, len_b):
-            words, sent = p.text_encoder.apply(variables["text"], cap_b,
-                                               len_b)
-            mask = cap_b == 0
-            cdt = jnp.bfloat16
-            with p._quant_ctx("netg"):
-                fake, _, _, _ = p.netg.apply(
-                    _cast_floats(variables["netg"], cdt), lr_b.astype(cdt),
-                    sent.astype(cdt), words.astype(cdt), mask)
-            with p._quant_ctx("netgh"):
-                fine, _, _ = p.netgh.apply(
-                    _cast_floats(variables["netgh"], cdt), lr_b.astype(cdt),
-                    fake, lr_b.astype(cdt))
-            return fine[-1]
-
-        @jax.jit
-        def scan_checksum(variables, lr_m, cap_m, len_m, salt):
-            def body(c, x):
-                sr = sr_one(variables, x[0] + salt * 1e-6, x[1], x[2])
-                return c + jnp.sum(sr.astype(jnp.float32)), None
-
-            s, _ = jax.lax.scan(body, 0.0, (lr_m, cap_m, len_m))
-            return s
-
-        return sr_one, scan_checksum
-
-    sr_one, scan_checksum = make_scan(pipe)
+    # honest-timing probes live on the pipeline (shared with the example
+    # probes): jitted scan + single-batch checksum fns, quant-aware
+    scan_checksum, one_checksum = pipe.checksum_fns()
 
     rng = np.random.default_rng(0)
     best, best_cfg = 0.0, ""
@@ -133,11 +108,6 @@ def main():
             break
 
     # p50 single-image latency (checksum-forced)
-    @jax.jit
-    def one_checksum(variables, lr_b, cap_b, len_b, salt):
-        return jnp.sum(sr_one(variables, lr_b + salt * 1e-6, cap_b,
-                              len_b).astype(jnp.float32))
-
     lr_d = jax.device_put(lr1[None])
     tok_d = jax.device_put(tok[:1])
     len_d = jax.device_put(lens[:1])
@@ -178,7 +148,7 @@ def main():
             cfg, vocab, pipe.variables["text"], pipe.variables["netg"],
             pipe.variables["netgh"], compute_dtype=jnp.bfloat16,
             quant_scales=face_s8_scales())
-        _, scan_q = make_scan(qpipe)
+        scan_q, _ = qpipe.checksum_fns()
         B, M = 768, 64
         reps = int(np.ceil(B * M / n_caps))
         tokB = jax.device_put(np.tile(tok, (reps, 1))[: B * M].reshape(M, B, T))

@@ -29,7 +29,7 @@ def main():
     from PIL import Image
 
     from tgsr_tpu.config import config_from_file
-    from tgsr_tpu.engine.inference import SRPipeline, _cast_floats
+    from tgsr_tpu.engine.inference import SRPipeline
 
     cfg = config_from_file(os.path.join(REF, "cfg/eval_faceSR_attn2.yml"))
     with open(os.path.join(REF, "data/face/testset.pickle"), "rb") as f:
@@ -48,16 +48,8 @@ def main():
         os.path.join(REF, "Checkpoint/face_S8/netG_epoch_7.pth"),
         compute_dtype=jnp.bfloat16)
 
-    def sr_one(variables, lr_b, cap_b, len_b):
-        words, sent = pipe.text_encoder.apply(variables["text"], cap_b, len_b)
-        cdt = jnp.bfloat16
-        fake, _, _, _ = pipe.netg.apply(
-            _cast_floats(variables["netg"], cdt), lr_b.astype(cdt),
-            sent.astype(cdt), words.astype(cdt), cap_b == 0)
-        fine, _, _ = pipe.netgh.apply(
-            _cast_floats(variables["netgh"], cdt), lr_b.astype(cdt), fake,
-            lr_b.astype(cdt))
-        return fine[-1]
+    # the shared quant-aware probe forward (SRPipeline.bench_forward)
+    sr_one = pipe.bench_forward
 
     import functools
 

@@ -30,7 +30,7 @@ def main():
     from PIL import Image
 
     from tgsr_tpu.config import config_from_file
-    from tgsr_tpu.engine.inference import SRPipeline, _cast_floats
+    from tgsr_tpu.engine.inference import SRPipeline
 
     ref = "/root/reference"
     cfg = config_from_file(os.path.join(ref, "cfg/eval_faceSR_attn2.yml"))
@@ -54,25 +54,7 @@ def main():
         os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
         compute_dtype=jnp.bfloat16)
 
-    def sr_one(variables, lr_b, cap_b, len_b):
-        words, sent = pipe.text_encoder.apply(variables["text"], cap_b, len_b)
-        mask = cap_b == 0
-        cdt = jnp.bfloat16
-        fake, _, _, _ = pipe.netg.apply(
-            _cast_floats(variables["netg"], cdt), lr_b.astype(cdt),
-            sent.astype(cdt), words.astype(cdt), mask)
-        fine, _, _ = pipe.netgh.apply(
-            _cast_floats(variables["netgh"], cdt), lr_b.astype(cdt), fake,
-            lr_b.astype(cdt))
-        return fine[-1]
-
-    @jax.jit
-    def scan_checksum(variables, lr_m, cap_m, len_m, salt):
-        def body(c, x):
-            sr = sr_one(variables, x[0] + salt * 1e-6, x[1], x[2])
-            return c + jnp.sum(sr.astype(jnp.float32)), None
-        s, _ = jax.lax.scan(body, 0.0, (lr_m, cap_m, len_m))
-        return s
+    scan_checksum, _ = pipe.checksum_fns()
 
     rng = np.random.default_rng(0)
     reps = int(np.ceil(B * M / len(caps)))

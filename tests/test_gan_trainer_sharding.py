@@ -197,23 +197,35 @@ def test_mixed_precision_step_close_to_f32():
 
 
 def test_grad_accumulation():
-    """grad_accum=2: params frozen on odd micro-steps, applied on even;
-    EMA/stats still tick every step; metrics finite."""
+    """grad_accum=2: params frozen on odd micro-steps, applied on even; the
+    EMA blends ONLY on application steps (otherwise its effective horizon
+    shrinks by the accumulation factor); metrics finite."""
     cfg, vocab, text_vars, batch = _setup(B=4)
     tr = GANTrainer(cfg, vocab, text_vars, grad_accum=2)
     state = tr.init_state(jax.random.PRNGKey(0), batch_size=4)
     p0 = jax.tree.map(np.asarray, state.g_params)
+    ema0 = jax.tree.map(np.asarray, state.g_ema)
     rng = jax.random.PRNGKey(2)
 
     state, m1, rng = tr.train_step(state, batch, rng)
     p1 = jax.tree.map(np.asarray, state.g_params)
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_array_equal(a, b)  # accumulation step: no update
+    # accumulation step: EMA untouched (decay gated to 1.0)
+    for a, b in zip(jax.tree.leaves(ema0),
+                    jax.tree.leaves(jax.tree.map(np.asarray, state.g_ema))):
+        np.testing.assert_array_equal(a, b)
 
     state, m2, rng = tr.train_step(state, batch, rng)
     p2 = jax.tree.map(np.asarray, state.g_params)
     changed = sum(not np.array_equal(a, b) for a, b in
                   zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
     assert changed > len(jax.tree.leaves(p1)) // 2
+    # application step: exactly ONE EMA blend toward the applied params
+    d = tr.ema_decay
+    jax.tree.map(
+        lambda e0, p, e: np.testing.assert_allclose(
+            e0 * d + p * (1 - d), e, rtol=1e-6, atol=1e-7),
+        ema0, p2, jax.tree.map(np.asarray, state.g_ema))
     for name, v in m2.items():
         assert np.isfinite(float(v)), name

@@ -107,37 +107,31 @@ class DAMSMTrainer:
         )
 
     def _cast(self, tree):
-        if self.compute_dtype == jnp.float32:
-            return tree
-        return jax.tree.map(
-            lambda x: x.astype(self.compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        from tgsr_tpu.engine.precision import cast_floats
 
-    def _uncast(self, tree):
-        if self.compute_dtype == jnp.float32:
-            return tree
-        return jax.tree.map(
-            lambda x: x.astype(jnp.float32)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        return cast_floats(tree, self.compute_dtype)
 
     def _apply_cnn(self, params, stats, imgs, train: bool):
+        from tgsr_tpu.engine.precision import merge_stats
+
         params = self._cast(params)
-        stats = self._cast(stats)
         imgs = self._cast(imgs)
         variables = {"params": params}
         if stats:
-            variables["batch_stats"] = stats
+            variables["batch_stats"] = self._cast(stats)
         kw = {}
         if isinstance(self.cnn_encoder, CNNEncoder):
             kw["freeze_backbone"] = self.freeze_backbone
         if train and stats:
             (feat, code), upd = self.cnn_encoder.apply(
                 variables, imgs, train=True, mutable=["batch_stats"], **kw)
+            # f32-master stats update (engine/precision.py)
             return (feat.astype(jnp.float32), code.astype(jnp.float32),
-                    self._uncast(upd["batch_stats"]))
+                    merge_stats(stats, upd["batch_stats"],
+                                self.compute_dtype))
         feat, code = self.cnn_encoder.apply(variables, imgs, train=False, **kw)
-        return (feat.astype(jnp.float32), code.astype(jnp.float32),
-                self._uncast(stats))
+        # eval mode never touches the running stats: return them untouched
+        return feat.astype(jnp.float32), code.astype(jnp.float32), stats
 
     def _loss(self, params, stats, batch, train, dropout_rng=None):
         cfg = self.cfg

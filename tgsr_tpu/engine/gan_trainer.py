@@ -162,18 +162,17 @@ class GANTrainer:
     # -- the fused step --------------------------------------------------------
 
     def _cast(self, tree):
-        if self.compute_dtype == jnp.float32:
-            return tree
-        return jax.tree.map(
-            lambda x: x.astype(self.compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        from tgsr_tpu.engine.precision import cast_floats
 
-    def _uncast(self, tree):
-        if self.compute_dtype == jnp.float32:
-            return tree
-        return jax.tree.map(
-            lambda x: x.astype(jnp.float32)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        return cast_floats(tree, self.compute_dtype)
+
+    def _merge_stats(self, master, new):
+        """f32-master update of BN running stats: undo the bf16 cast of
+        the OLD state that seeded flax's (otherwise-f32) running-average
+        blend (engine/precision.py merge_stats -- exact recovery)."""
+        from tgsr_tpu.engine.precision import merge_stats
+
+        return merge_stats(master, new, self.compute_dtype)
 
     def _g_forward(self, g_params, g_stats, lr_img, sent, words, mask, rng):
         """Generator chain with mutable batch stats. Returns
@@ -192,8 +191,9 @@ class GANTrainer:
              "batch_stats": self._cast(g_stats["netgh"])},
             lr_img, fake, lr_img, train=True, mutable=["batch_stats"],
         )
-        new_stats = self._uncast({"netg": gupd["batch_stats"],
-                                  "netgh": ghupd["batch_stats"]})
+        new_stats = self._merge_stats(
+            g_stats, {"netg": gupd["batch_stats"],
+                      "netgh": ghupd["batch_stats"]})
         fake = [f.astype(jnp.float32) for f in fake]
         fine = [f.astype(jnp.float32) for f in fine]
         return fake, fine, mu.astype(jnp.float32), logvar.astype(jnp.float32), new_stats
@@ -214,7 +214,8 @@ class GANTrainer:
                  "batch_stats": self._cast(stats_cell[key])},
                 *args, train=True, mutable=["batch_stats"], method=method,
             )
-            stats_cell[key] = self._uncast(upd["batch_stats"])
+            stats_cell[key] = self._merge_stats(stats_cell[key],
+                                                upd["batch_stats"])
             return out
 
         def d_feat(img):
@@ -317,8 +318,16 @@ class GANTrainer:
             g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
                                                 state.g_params)
             g_params = optax.apply_updates(state.g_params, g_updates)
+            if self.grad_accum > 1:
+                # blend the EMA only on micro-steps where MultiSteps actually
+                # applied the optimizer (mini_step wrapped to 0) -- otherwise
+                # the frozen-params blends would compress the effective EMA
+                # horizon by a factor of grad_accum
+                decay = jnp.where(g_opt.mini_step == 0, self.ema_decay, 1.0)
+            else:
+                decay = self.ema_decay
             g_ema = jax.tree.map(
-                lambda e, p: e * self.ema_decay + p * (1 - self.ema_decay),
+                lambda e, p: e * decay + p * (1 - decay),
                 state.g_ema, g_params)
 
             new_state = state.replace(

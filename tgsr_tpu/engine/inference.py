@@ -305,6 +305,11 @@ class SRPipeline:
         n = lr.shape[0]
         b = min(microbatch or self.DEFAULT_MICROBATCH, n)
         m = -(-n // b)
+        # balance the microbatch to N (N=769 with b=768 would otherwise pad
+        # to 1536 -- ~2x wasted compute); quantize b up to a multiple of 64
+        # so the set of compiled (m, b) shapes stays small across varied N
+        balanced = -(-n // m)
+        b = min(b, -(-balanced // 64) * 64)
         pad = m * b - n
         if pad:
             sel = np.arange(m * b) % n  # replicate from the start
@@ -354,6 +359,55 @@ class SRPipeline:
         s = self.cfg.scale
         sr = np.asarray(out["sr"])[:, : h * s, : w * s]
         return np.round(np.clip((sr + 1.0) * 127.5, 0, 255)).astype(np.uint8)
+
+    def bench_forward(self, variables, lr_b, cap_b, len_b):
+        """The traceable bf16 (quant-aware) forward returning the final SR
+        tensor -- the single shared building block for every timing probe
+        (bench.py checksum scans, the latency probe's chained-K structure,
+        the profiling tool). NOT jitted by itself: compose inside one jit."""
+        cdt = jnp.bfloat16
+        words, sent = self.text_encoder.apply(variables["text"], cap_b,
+                                              len_b)
+        mask = cap_b == 0
+        with self._quant_ctx("netg"):
+            fake, _, _, _ = self.netg.apply(
+                _cast_floats(variables["netg"], cdt), lr_b.astype(cdt),
+                sent.astype(cdt), words.astype(cdt), mask)
+        with self._quant_ctx("netgh"):
+            fine, _, _ = self.netgh.apply(
+                _cast_floats(variables["netgh"], cdt), lr_b.astype(cdt),
+                fake, lr_b.astype(cdt))
+        return fine[-1]
+
+    def checksum_fns(self):
+        """Honest-timing probes: (scan_fn, one_fn), both jitted.
+
+        scan_fn(variables, lr [M,B,h,w,3], captions [M,B,T], lens [M,B],
+        salt) scans M microbatches and returns ONE f32 scalar checksum of
+        the SR outputs; one_fn is the single-batch variant. Fetching the
+        scalar forces full execution through a 4-byte transfer (this TPU
+        stack's block_until_ready does not reliably synchronize, docs/
+        PERF.md); `salt` perturbs the input per call to defeat caching.
+        Uses the pipeline's own bf16/int8 configuration -- bench.py and the
+        example probes share this instead of hand-rolling the forward.
+        """
+        sr_one = self.bench_forward
+
+        @jax.jit
+        def scan_fn(variables, lr_m, cap_m, len_m, salt):
+            def body(c, x):
+                sr = sr_one(variables, x[0] + salt * 1e-6, x[1], x[2])
+                return c + jnp.sum(sr.astype(jnp.float32)), None
+
+            s, _ = jax.lax.scan(body, 0.0, (lr_m, cap_m, len_m))
+            return s
+
+        @jax.jit
+        def one_fn(variables, lr_b, cap_b, len_b, salt):
+            return jnp.sum(sr_one(variables, lr_b + salt * 1e-6, cap_b,
+                                  len_b).astype(jnp.float32))
+
+        return scan_fn, one_fn
 
     def sr_uint8(self, lr, captions, cap_lens) -> np.ndarray:
         """Final SR as uint8 (save-time clip, trainer_objective.py:153-155).

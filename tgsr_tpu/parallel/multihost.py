@@ -31,14 +31,29 @@ def initialize_distributed(
     so CLIs can call it unconditionally. On TPU pods the TPU runtime
     autodetects the topology and plain `jax.distributed.initialize()` works;
     explicit args cover CPU/GPU clusters.
-    """
-    if coordinator_address is None and num_processes is None \
-            and jax.process_count() == 1:
-        import os
 
-        if "JAX_COORDINATOR_ADDRESS" not in os.environ \
-                and "COORDINATOR_ADDRESS" not in os.environ:
-            return 0
+    ORDERING: `jax.distributed.initialize` must run BEFORE any call that
+    initializes the XLA backend, so the no-op decision is made purely from
+    env vars -- never from `jax.process_count()` (which would initialize
+    the backend and make a subsequent initialize() raise).
+    """
+    import os
+
+    def _cluster_env() -> bool:
+        if os.environ.get("JAX_COORDINATOR_ADDRESS") \
+                or os.environ.get("COORDINATOR_ADDRESS") \
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+            return True
+        # TPU pods list every worker here; single-host TPU VMs set it too
+        # (e.g. 'localhost'), so only >1 hostname indicates a pod
+        hosts = [h for h in
+                 os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+                 if h.strip()]
+        return len(hosts) > 1
+
+    if coordinator_address is None and num_processes is None \
+            and not _cluster_env():
+        return 0
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -140,10 +140,21 @@ def vis_layer(params: dict, image: jax.Array, layer: int,
     x = jnp.asarray(image)
     if x.ndim == 3:
         x = x[None]
-    feats, vjp_fn = jax.vjp(lambda im: forward_to_tap(params, im, layer), x)
+    # two jits (forward; vjp-apply), NOT eager: on the axon TPU platform
+    # every eager primitive pays a remote-compile round trip (CLAUDE.md),
+    # which would turn the ~30-op tower + inverse into minutes of hangs.
+    # The host-side channel selection between them forces the split.
+    fwd = jax.jit(lambda im: forward_to_tap(params, im, layer))
+    feats = fwd(x)
     fmap = np.asarray(feats[0])
     seed, max_act = _select_seed(fmap, mode)
-    (recon,) = vjp_fn(jnp.asarray(seed, feats.dtype)[None])
+
+    @jax.jit
+    def vjp_apply(im, seed_b):
+        _, vjp_fn = jax.vjp(lambda i: forward_to_tap(params, i, layer), im)
+        return vjp_fn(seed_b)[0]
+
+    recon = vjp_apply(x, jnp.asarray(seed, feats.dtype)[None])
     img = np.asarray(recon[0], np.float32)
     lo, hi = img.min(), img.max()
     img = (img - lo) / max(hi - lo, 1e-12) * 255.0
