@@ -1,0 +1,57 @@
+"""End-to-end CPU smoke of the DAMSM pretraining CLI (cli/pretrain_damsm):
+synthetic CelebA-format fixture, one epoch with the SimpleCNN backbone,
+snapshots + attention-grid dump per the reference protocol."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def face_fixture(tmp_path):
+    attrs = ["Attractive", "Young", "Smiling", "Male", "BlackHair",
+             "BlondHair", "Eyeglasses", "Bangs", "BigLips", "BigNose",
+             "Blurry", "Chubby"]
+    rng = np.random.RandomState(0)
+    rows = [" ".join(attrs) + " "]
+    img_dir = tmp_path / "Img"
+    img_dir.mkdir()
+    for i in range(6):
+        vals = ["1" if rng.rand() < 0.5 else "-1" for _ in attrs]
+        vals[10] = "1" if i >= 4 else "-1"  # 4 train / 2 test (Blurry attr)
+        vals[0] = "1"
+        rows.append(f"{i:06d}.jpg " + " ".join(vals))
+        im = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+        Image.fromarray(im).save(img_dir / f"{i:06d}.png")
+    (tmp_path / "list_attr_celeba.txt").write_text("\n".join(rows) + "\n")
+
+    cfg = tmp_path / "damsm_face.yml"
+    cfg.write_text(
+        "CONFIG_NAME: 'smoke'\n"
+        "DATASET_NAME: 'face'\n"
+        f"DATA_DIR: '{tmp_path}'\n"
+        "TREE:\n    BRANCH_NUM: 1\n    BASE_SIZE: 32\n"
+        "TRAIN:\n    FLAG: True\n    BATCH_SIZE: 2\n    MAX_EPOCH: 1\n"
+        "    SNAPSHOT_INTERVAL: 1\n"
+    )
+    return tmp_path, cfg
+
+
+def test_pretrain_damsm_cli_end_to_end(face_fixture, tmp_path):
+    data_dir, cfg = face_fixture
+    out = tmp_path / "out"
+
+    from tgsr_tpu.cli.pretrain_damsm import main
+
+    main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+          "--out_dir", str(out), "--epochs", "1", "--simple-cnn"])
+
+    runs = glob.glob(str(out / "face_DAMSM_*"))
+    assert len(runs) == 1
+    model_dir = os.path.join(runs[0], "Model")
+    snaps = sorted(os.listdir(model_dir))
+    assert any(s.startswith("text_encoder") for s in snaps), snaps
+    assert any(s.startswith("image_encoder") for s in snaps), snaps
