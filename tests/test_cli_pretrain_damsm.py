@@ -20,8 +20,8 @@ def face_fixture(tmp_path):
     img_dir = tmp_path / "Img"
     img_dir.mkdir()
     for i in range(6):
-        vals = ["1" if rng.rand() < 0.5 else "-1" for _ in attrs]
-        vals[10] = "1" if i >= 4 else "-1"  # 4 train / 2 test (Blurry attr)
+        vals = ["1" if rng.rand() < 0.5 else "0" for _ in attrs]
+        vals[10] = "1" if i >= 4 else "0"  # 4 train / 2 test (Blurry attr)
         vals[0] = "1"
         rows.append(f"{i:06d}.jpg " + " ".join(vals))
         im = (rng.rand(48, 48, 3) * 255).astype(np.uint8)

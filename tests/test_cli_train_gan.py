@@ -25,8 +25,8 @@ def face_fixture(tmp_path):
     img_dir = tmp_path / "Img"
     img_dir.mkdir()
     for i in range(4):
-        vals = ["1" if rng.rand() < 0.5 else "-1" for _ in attrs]
-        vals[10] = "-1"  # attr[11] == Blurry: -1 -> train split
+        vals = ["1" if rng.rand() < 0.5 else "0" for _ in attrs]
+        vals[10] = "0"  # attr[11] == Blurry: 0 -> train split
         vals[0] = "1"    # at least one positive attribute (caption nonempty)
         rows.append(f"{i:06d}.jpg " + " ".join(vals))
         im = (rng.rand(64, 64, 3) * 255).astype(np.uint8)

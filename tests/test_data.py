@@ -161,3 +161,53 @@ def test_face_sentence_captions(tmp_path):
     assert caps[1] == ["she", "wears", "lipstick"]
     assert caps[2] == caps[0]  # cycling
     assert caps[5] == ["a", "man", "with", "a", "beard"]
+
+
+def test_batch_loader_worker_error_propagates():
+    """A decode error in the worker thread must surface in the consumer,
+    not deadlock the epoch() loop (round-2 review finding)."""
+    import pytest as _pytest
+
+    from tgsr_tpu.data.pipeline import BatchLoader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i, rng=None, sent_ix=None):
+            raise IOError(f"corrupt image {i}")
+
+    loader = BatchLoader(Broken(), batch_size=2, shuffle=False)
+    with _pytest.raises(IOError, match="corrupt image"):
+        next(iter(loader.epoch(0)))
+
+
+def test_batch_loader_abandoned_generator_releases_worker():
+    """Breaking out of epoch() early (eval loops) must not leave the worker
+    blocked on q.put forever (round-2 review finding)."""
+    import threading
+    import time
+
+    from tgsr_tpu.data.datasets import Example
+    from tgsr_tpu.data.pipeline import BatchLoader
+
+    class Tiny:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i, rng=None, sent_ix=None):
+            return Example(hr=np.zeros((8, 8, 3), np.uint8),
+                           tokens=np.zeros((18,), np.int32),
+                           length=1, class_id=0, key=str(i))
+
+    n0 = threading.active_count()
+    for _ in range(5):
+        gen = BatchLoader(Tiny(), batch_size=2, shuffle=False,
+                          prefetch=1).epoch(0)
+        next(gen)
+        gen.close()  # abandon after one batch
+    deadline = time.time() + 5.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n0 + 1, (
+        f"{threading.active_count() - n0} leaked worker threads")

@@ -50,3 +50,13 @@ def test_load_batch_consistent_with_single():
     assert batch.shape == (2, 128, 128, 3)
     np.testing.assert_array_equal(batch[0], single)
     np.testing.assert_array_equal(batch[1], single)
+
+
+def test_load_batch_failed_decode_falls_back_to_pil(tmp_path):
+    """A file the C loader cannot decode must not yield a silent black
+    image (zero-variance-BN hazard); the PIL fallback raises properly on
+    unreadable files and decodes readable ones the C path missed."""
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"not an image")
+    with pytest.raises(Exception):
+        native.load_batch([IMG, str(bad)], 64, 1.0, threads=2)

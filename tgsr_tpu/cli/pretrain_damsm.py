@@ -139,19 +139,29 @@ def main(argv=None):
             print(f"attention dump failed: {type(e).__name__}: {e}")
 
     epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
+    # the jitted step donates the state buffers, so the `state` local here
+    # is unusable after the first step; the sink always holds the live one
+    sink = [state]
     try:
         state, history = trainer.fit(
             state, train_loader, val_loader, epochs=epochs,
             rng=jax.random.PRNGKey(args.manualSeed),
             snapshot_fn=snapshot,
             snapshot_interval=cfg.TRAIN.SNAPSHOT_INTERVAL,
+            state_sink=sink,
         )
         for h in history[-5:]:
             print(h)
     except KeyboardInterrupt:
         # = pretrain_DAMSM.py:293-295
-        snapshot(state, -1)
-        print("interrupted; snapshot saved")
+        try:
+            snapshot(sink[0], -1)
+            print("interrupted; snapshot saved")
+        except RuntimeError as e:
+            # Ctrl-C can land mid-step with the sink holding the donated
+            # (already-invalidated) input state; the previous periodic
+            # snapshot is then the best available
+            print(f"interrupted; final snapshot unsaveable ({e})")
 
 
 if __name__ == "__main__":

@@ -139,11 +139,19 @@ def main(argv=None):
         return
     try:
         final_step = max(int(final.step), 1)
+        if latest_step(ckpt_dir) == final_step:
+            # the periodic save already wrote this exact step (run length a
+            # multiple of the snapshot interval); orbax would raise
+            # StepAlreadyExistsError on a duplicate
+            print("training done;", final_step, "steps; checkpoints in",
+                  ckpt_dir)
+            return
         save_train_state(ckpt_dir, final_step, final)
-    except RuntimeError as e:
-        # a Ctrl-C mid-step can leave _LAST_STATE holding the donated
-        # (invalidated) input buffers; the previous periodic checkpoint is
-        # then the best available state
+    except (RuntimeError, ValueError) as e:
+        # RuntimeError: a Ctrl-C mid-step can leave _LAST_STATE holding the
+        # donated (invalidated) input buffers; ValueError covers orbax's
+        # StepAlreadyExistsError race -- either way the last periodic
+        # checkpoint stands
         print(f"final state unsaveable ({e}); last periodic checkpoint stands")
         return
     print("training done;", final_step, "steps; checkpoints in", ckpt_dir)

@@ -317,12 +317,16 @@ class TextFaceDataset(_CaptionDatasetBase):
         with open(path) as f:
             lines = f.readlines()
         attr_list = lines[0].split(" ")[:-1]
+        # faithful split (datasets.py:946-959): train keeps ONLY
+        # attr[11] == '0', test ONLY attr[11] == '1'; rows with any other
+        # value (e.g. '-1' in stock CelebA attr files, which use -1/1)
+        # are dropped from BOTH splits, exactly as the reference does
+        want = "1" if not train else "0"
         for line in lines[1:]:
             attr = line.split(" ")
             if len(attr) < 2:
                 continue
-            is_test = attr[11] == "1"
-            if is_test == train:
+            if attr[11] != want:
                 continue
             names.append(attr[0][:-3] + "png")
             toks = [attr_list[i - 1] for i in range(1, len(attr))

@@ -84,24 +84,53 @@ class BatchLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         n_batches = len(self)
 
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that notices consumer abandonment: without the
+            # stop check, a consumer breaking out of epoch() early (e.g.
+            # a max_batches eval loop) would leave this thread blocked on
+            # q.put forever, leaking a thread + its buffered batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def worker():
-            for b in range(n_batches):
-                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                if len(sel) < self.batch_size and self.drop_last:
-                    break
-                examples = [
-                    self.dataset.__getitem__(
-                        int(i), rng=rng,
-                        sent_ix=0 if self.deterministic_captions else None)
-                    for i in sel
-                ]
-                q.put(prepare_batch(examples))
-            q.put(None)
+            # sentinel delivery is unconditional: a decode error must
+            # propagate to the consumer, not deadlock it on q.get()
+            try:
+                for b in range(n_batches):
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    if len(sel) < self.batch_size and self.drop_last:
+                        break
+                    examples = [
+                        self.dataset.__getitem__(
+                            int(i), rng=rng,
+                            sent_ix=0 if self.deterministic_captions
+                            else None)
+                        for i in sel
+                    ]
+                    if not _put(prepare_batch(examples)):
+                        return
+            except BaseException as e:  # noqa: BLE001 -- forwarded
+                _put(e)
+                return
+            _put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # generator closed/abandoned: release the worker
+            stop.set()

@@ -202,9 +202,16 @@ class DAMSMTrainer:
             log_every: int = 200, snapshot_fn: Optional[Callable] = None,
             snapshot_interval: int = 0,
             reset_moments_each_epoch: bool = True,
-            preprocess: Optional[Callable] = None):
+            preprocess: Optional[Callable] = None,
+            state_sink: Optional[list] = None):
+        """`state_sink`: a 1-element list updated with the LIVE state each
+        step -- the caller's only handle on trained weights if fit is
+        interrupted (the `state` argument's buffers are donated by the
+        jitted step and cannot be saved afterwards)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         history = []
+        if state_sink is not None:
+            state_sink[0] = state
         for epoch in range(epochs):
             lr = self.epoch_lr(epoch)
             if reset_moments_each_epoch and epoch > 0:
@@ -213,6 +220,8 @@ class DAMSMTrainer:
                 rng, sub = jax.random.split(rng)
                 db = self._device_batch(batch, preprocess)
                 state, metrics = self.train_step(state, db, lr, sub)
+                if state_sink is not None:
+                    state_sink[0] = state
                 if log_every and i % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     history.append({"epoch": epoch, "it": i, "lr": lr, **m})

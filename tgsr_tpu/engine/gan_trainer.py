@@ -186,10 +186,18 @@ class GANTrainer:
             lr_img, sent, words, mask, rng=rng, train=True,
             mutable=["batch_stats"],
         )
+        if self.netgh.low != "lr":
+            # = prepare_datablur's LRimb (PIL GaussianBlur 2 equivalent)
+            from tgsr_tpu.ops.image import gaussian_blur
+
+            lr_blur = gaussian_blur(lr_img.astype(jnp.float32),
+                                    2.0).astype(lr_img.dtype)
+        else:
+            lr_blur = lr_img
         (fine, _, _), ghupd = self.netgh.apply(
             {"params": self._cast(g_params["netgh"]),
              "batch_stats": self._cast(g_stats["netgh"])},
-            lr_img, fake, lr_img, train=True, mutable=["batch_stats"],
+            lr_img, fake, lr_blur, train=True, mutable=["batch_stats"],
         )
         new_stats = self._merge_stats(
             g_stats, {"netg": gupd["batch_stats"],

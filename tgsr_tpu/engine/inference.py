@@ -54,6 +54,10 @@ class SRPipeline:
         # int8 serving mode (engine/quant.py): {"netg": {...}, "netgh": {...}}
         # calibrated per-conv activation scales; None = full-precision path
         self.quant_scales = quant_scales or {}
+        # the HF branch's blurred-LR input (EVAL.INPUT_NETGH 'lrblur' /
+        # 'lr-lrblur' = trainer_objective.py:113-114 LRimb, PIL
+        # GaussianBlur(2) equivalent); low='lr' never reads it
+        self._needs_lr_blur = cfg.EVAL.INPUT_NETGH != "lr"
 
         self.text_encoder = TextEncoder(
             vocab_size=vocab_size,
@@ -158,6 +162,16 @@ class SRPipeline:
 
         return nn.intercept_methods(quant_interceptor(scales))
 
+    def _lr_blur(self, lr_c):
+        """Blurred LR for the HF branch (= prepare_datablur's LRimb,
+        datasets.py:71-109: PIL GaussianBlur radius 2). Identity pass-through
+        when INPUT_NETGH == 'lr' (the argument is unused there)."""
+        if not self._needs_lr_blur:
+            return lr_c
+        from tgsr_tpu.ops.image import gaussian_blur
+
+        return gaussian_blur(lr_c.astype(jnp.float32), 2.0).astype(lr_c.dtype)
+
     def calibrate_quant(self, lr, captions, cap_lens,
                         margin: float = 1.1) -> Dict[str, Dict[str, float]]:
         """Calibrate int8 activation scales on representative inputs by
@@ -176,7 +190,8 @@ class SRPipeline:
 
         def run_gh(lr_c, fake_imgs):
             return self.netgh.apply(
-                _cast_floats(v["netgh"], cdt), lr_c, fake_imgs, lr_c)
+                _cast_floats(v["netgh"], cdt), lr_c, fake_imgs,
+                self._lr_blur(lr_c))
 
         words, sent = jax.jit(self.text_encoder.apply)(
             v["text"], jnp.asarray(captions), jnp.asarray(cap_lens))
@@ -211,7 +226,7 @@ class SRPipeline:
             with self._quant_ctx("netgh"):
                 fine, _, _ = self.netgh.apply(
                     _cast_floats(variables["netgh"], cdt), lr_c, fake_imgs,
-                    lr_c
+                    self._lr_blur(lr_c)
                 )
             sr = fine[-1].astype(jnp.float32)
             out = {"sr": sr, "pyramid": [f.astype(jnp.float32) for f in fine]}
@@ -264,7 +279,8 @@ class SRPipeline:
                 with self._quant_ctx("netgh"):
                     fine, _, _ = self.netgh.apply(
                         _cast_floats(variables["netgh"], cdt),
-                        lr_b.astype(cdt), fake, lr_b.astype(cdt))
+                        lr_b.astype(cdt), fake,
+                        self._lr_blur(lr_b.astype(cdt)))
                 sr = fine[-1].astype(jnp.float32)
                 return jnp.round(
                     jnp.clip((sr + 1.0) * 127.5, 0, 255)).astype(jnp.uint8)
@@ -376,7 +392,7 @@ class SRPipeline:
         with self._quant_ctx("netgh"):
             fine, _, _ = self.netgh.apply(
                 _cast_floats(variables["netgh"], cdt), lr_b.astype(cdt),
-                fake, lr_b.astype(cdt))
+                fake, self._lr_blur(lr_b.astype(cdt)))
         return fine[-1]
 
     def checksum_fns(self):

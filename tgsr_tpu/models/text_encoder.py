@@ -136,7 +136,10 @@ class TextEncoder(nn.Module):
         )
         emb = emb_table[captions]  # [B, T, emb_dim]
         if train and self.drop_prob > 0:
-            emb = nn.Dropout(rate=self.drop_prob, deterministic=False)(emb)
+            # randomness comes from rngs_dropout when given, else from the
+            # apply-level rngs={'dropout': ...} (flax make_rng)
+            emb = nn.Dropout(rate=self.drop_prob, deterministic=False)(
+                emb, rng=rngs_dropout)
 
         n_gates = 4 if self.rnn_type == "LSTM" else 3
 

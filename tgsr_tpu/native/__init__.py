@@ -103,8 +103,20 @@ def load_batch(paths: List[str], target: int, enlarge: float = 1.0,
         offsets[i] = pos
         pos += len(p.encode()) + 1
     out = np.empty((len(paths), target, target, 3), np.uint8)
-    lib.tgsr_load_batch(
+    n_ok = lib.tgsr_load_batch(
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(paths), target, ctypes.c_float(enlarge), threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if n_ok < len(paths):
+        # the C loader zero-fills failed decodes; silently feeding black
+        # (constant) images downstream is the zero-variance-BN NaN hazard
+        # (CLAUDE.md), so retry the failed slots through the PIL fallback
+        # (which raises a proper error on genuinely unreadable files)
+        from tgsr_tpu.data.datasets import (_center_crop_resize,
+                                            _load_image_rgb)
+
+        for i in range(len(paths)):
+            if not out[i].any():
+                out[i] = _center_crop_resize(
+                    _load_image_rgb(paths[i]), target, enlarge)
     return out

@@ -69,10 +69,10 @@ def degrade_and_bicubic(hr: jax.Array, scale: int,
     lr = resize(hr, (h // scale, w // scale), method)
     bic = []
     s = h // scale
-    while s <= h:
+    while True:
         s *= 2
-        if s > h:
-            break
+        if s >= h:
+            break  # the full-res level is appended once below
         bic.append(resize(lr, (s, s), "cubic"))
     bic.append(resize(lr, (h, w), "cubic"))
     return lr, bic
