@@ -100,3 +100,73 @@ def test_trainer_blur_mode_finite():
     state, metrics, _ = tr.train_step(state, batch, jax.random.PRNGKey(1))
     for name, v in metrics.items():
         assert np.isfinite(float(v)), (name, float(v))
+
+
+def test_blur_modes_oracle_vs_reference():
+    """NetGHighWeight 'lrblur' and 'lr-lrblur' vs the unmodified reference
+    NetG_highweight with the SAME blurred tensor and converted random-init
+    weights (torch oracle for the mode plumbing + math)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from tests.reference_oracle import load_reference
+
+    from tgsr_tpu.checkpoints.convert_torch import convert_netgh_weight
+
+    ref = load_reference()
+    for low in ("lrblur", "lr-lrblur"):
+        torch.manual_seed(21)
+        net = ref["model"].NetG_highweight(weightmap=False, low=low)
+        net.eval()
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.3)
+                    m.running_var.uniform_(0.5, 2.0)
+        g = torch.Generator().manual_seed(22)
+        lr_t = torch.randn(1, 3, 32, 32, generator=g) * 0.5
+        lrb_t = torch.randn(1, 3, 32, 32, generator=g) * 0.5
+        srb_t = [torch.randn(1, 3, s, s, generator=g) * 0.5
+                 for s in (64, 128, 256)]
+        with torch.no_grad():
+            fine_t, _, _ = net(lr_t, srb_t, lrb_t)
+
+        variables = convert_netgh_weight(net.state_dict())
+        m = NetGHighWeight(ngf=32, weightmap=False, low=low)
+        to_nhwc = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+        fine_j, _, _ = m.apply(variables, to_nhwc(lr_t),
+                               [to_nhwc(s) for s in srb_t], to_nhwc(lrb_t))
+        for i, (t, j) in enumerate(zip(fine_t, fine_j)):
+            np.testing.assert_allclose(
+                t.numpy(), np.asarray(j).transpose(0, 3, 1, 2),
+                rtol=1e-3, atol=1e-4, err_msg=f"{low} scale {i}")
+
+
+def test_pipeline_blur_close_to_pil_gaussian():
+    """SRPipeline._lr_blur vs the reference's PIL GaussianBlur(radius=2)
+    LRimb (prepare_datablur) on the real test image. Pillow implements
+    GaussianBlur as a triple BOX-blur approximation of the Gaussian, so a
+    true separable Gaussian cannot match it exactly -- parity is
+    tolerance-level (same standard as test_image_ops'
+    test_gaussian_blur_close_to_pil): ~2/255 mean over the interior, with
+    larger deviation confined to the border where the box passes handle
+    edge extension differently."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference not mounted")
+    from PIL import Image, ImageFilter
+
+    img = Image.open("/root/reference/data/face/000155.png").convert("RGB")
+    lr_pil = img.resize((32, 32), Image.BICUBIC)
+    lrb_pil = np.asarray(lr_pil.filter(ImageFilter.GaussianBlur(radius=2)),
+                         np.float32) / 127.5 - 1.0
+
+    pipe, _, _, _ = _build("lr-lrblur")
+    lr = np.asarray(lr_pil, np.float32)[None] / 127.5 - 1.0
+    ours = np.asarray(pipe._lr_blur(jnp.asarray(lr)))[0]
+    d = np.abs(ours - lrb_pil)
+    assert d.mean() < 2.5 / 127.5, d.mean()
+    assert d[4:-4, 4:-4].max() < 8.0 / 127.5, d[4:-4, 4:-4].max()
