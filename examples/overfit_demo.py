@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Learning-proof: overfit the GAN trainer on a tiny fixed set.
+
+The reference ships NO GAN training loop (SURVEY.md 2.9); our reconstructed
+trainer (engine/gan_trainer.py, contract = miscc/losses.py:290-424 +
+trainer_objective.py:43-53) previously only demonstrated 50 steps of
+decreasing losses. This script proves the system *descends to better
+images*: from random init, overfit a deterministic set of augmented crops of
+the one shipped face image (/root/reference/data/face/000155.png) for a few
+thousand fused D+G steps and record PSNR-Y of the EMA generator's SR output
+vs ground truth every eval interval.
+
+Success criterion (VERDICT round-2 item 1): a PSNR-vs-step curve rising well
+above the bicubic-upsample baseline, with D/G losses in a sane equilibrium,
+plus an EMA sample image artifact.
+
+  python examples/overfit_demo.py --steps 3000 --batch 32 --bf16
+  python examples/overfit_demo.py --cpu --steps 30 --batch 4 --base 8 \
+      --gf 16 --df 16 --scan-k 5 --eval-every 10        # smoke
+
+Outputs (under --out, default examples/artifacts/overfit):
+  curve.jsonl    one record per eval: step, psnr_ema, psnr_raw, losses
+  sample_*.png   EMA SR output vs GT strips at milestones
+  curve.png      matplotlib PSNR-vs-step plot (bicubic + init baselines)
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+
+def build_overfit_set(n, base, sizes, vocab, T, seed=0):
+    """Deterministic augmented crops of the shipped face image + seeded
+    captions. No per-step noise: overfitting wants fixed targets (real-image
+    crops have nonzero variance, so train-mode BN is well-conditioned)."""
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(os.path.join(REF, "data/face/000155.png")).convert("RGB")
+    rng = np.random.default_rng(seed)
+    lr = np.empty((n, base, base, 3), np.float32)
+    pyr = [np.empty((n, s, s, 3), np.float32) for s in sizes]
+    for i in range(n):
+        w, h = img.size
+        cw = ch = int(min(w, h) * rng.uniform(0.7, 1.0))
+        left, top = rng.integers(0, w - cw + 1), rng.integers(0, h - ch + 1)
+        crop = img.crop((left, top, left + cw, top + ch))
+        if rng.random() < 0.5:
+            crop = crop.transpose(Image.FLIP_LEFT_RIGHT)
+        for k, s in enumerate(sizes):
+            pyr[k][i] = np.asarray(crop.resize((s, s), Image.BILINEAR),
+                                   np.float32) / 127.5 - 1.0
+        lr[i] = np.asarray(crop.resize((base, base), Image.BILINEAR),
+                           np.float32) / 127.5 - 1.0
+    caps = np.zeros((n, T), np.int32)
+    lens = rng.integers(4, 15, n).astype(np.int32)
+    for i in range(n):
+        caps[i, : lens[i]] = rng.integers(1, vocab, lens[i])
+    return {
+        "lr": lr, "real_pyramid": pyr, "captions": caps, "cap_lens": lens,
+        "class_ids": np.arange(n, dtype=np.int32),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--base", type=int, default=32)
+    p.add_argument("--gf", type=int, default=32)
+    p.add_argument("--df", type=int, default=64)
+    p.add_argument("--scan-k", type=int, default=20,
+                   help="steps per dispatch (lax.scan)")
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts", "overfit"))
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from tgsr_tpu.config import Config
+    from tgsr_tpu.engine.gan_trainer import GANTrainer
+    from tgsr_tpu.models.text_encoder import TextEncoder
+    from tgsr_tpu.ops.image import (denormalize_to_uint8, psnr_batch,
+                                    resize_bicubic_torch, rgb2y)
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=4, BASE_SIZE=args.base),
+        GAN=dataclasses.replace(cfg.GAN, GF_DIM=args.gf, DF_DIM=args.df),
+        TRAIN=dataclasses.replace(cfg.TRAIN, BATCH_SIZE=args.batch),
+    )
+    sizes = cfg.pyramid_sizes()
+    B, T, vocab = args.batch, cfg.TEXT.WORDS_NUM, 41
+    print(f"overfit geometry: LR {args.base} -> {sizes}, batch {B}, "
+          f"gf {args.gf}/df {args.df}, platform "
+          f"{jax.devices()[0].platform}", flush=True)
+
+    data = build_overfit_set(B, args.base, sizes, vocab, T)
+    batch = {
+        "lr": jax.device_put(data["lr"]),
+        "real_pyramid": [jax.device_put(x) for x in data["real_pyramid"]],
+        "captions": jax.device_put(data["captions"]),
+        "cap_lens": jax.device_put(data["cap_lens"]),
+        "class_ids": jax.device_put(data["class_ids"]),
+    }
+
+    k = jax.random.PRNGKey(0)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    text_vars = enc.init(k, jnp.asarray(batch["captions"]),
+                         jnp.asarray(batch["cap_lens"]))
+    trainer = GANTrainer(
+        cfg, vocab, text_vars,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    t0 = time.perf_counter()
+    state = trainer.init_state(k, batch_size=B)
+    print(f"init_state: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # ---- jitted eval: PSNR-Y of G(LR) vs GT-256 on the whole set ----
+    gt256 = jnp.asarray(denormalize_to_uint8(batch["real_pyramid"][-1]))
+    eval_key = jax.random.PRNGKey(42)  # CA-net noise (c_code unused: det.)
+
+    @jax.jit
+    def eval_psnr(g_params, g_stats):
+        words, sent = trainer.text_encoder.apply(
+            text_vars, batch["captions"], batch["cap_lens"])
+        mask = batch["captions"] == 0
+        fake, _, _, _ = trainer.netg.apply(
+            {"params": g_params["netg"], "batch_stats": g_stats["netg"]},
+            batch["lr"], sent, words, mask, rng=eval_key, train=False)
+        fine, _, _ = trainer.netgh.apply(
+            {"params": g_params["netgh"], "batch_stats": g_stats["netgh"]},
+            batch["lr"], fake, batch["lr"], train=False)
+        sr8 = denormalize_to_uint8(fine[-1])
+        y_sr = rgb2y(sr8).astype(jnp.float32)[..., None]
+        y_gt = rgb2y(gt256).astype(jnp.float32)[..., None]
+        return jnp.mean(psnr_batch(y_sr, y_gt)), sr8
+
+    # bicubic-upsample baseline (the reference's `bic` path)
+    bic = denormalize_to_uint8(
+        resize_bicubic_torch(jnp.asarray(data["lr"]), (sizes[-1], sizes[-1])))
+    y_b = rgb2y(bic).astype(jnp.float32)[..., None]
+    y_g = rgb2y(gt256).astype(jnp.float32)[..., None]
+    psnr_bic = float(jnp.mean(psnr_batch(y_b, y_g)))
+
+    t0 = time.perf_counter()
+    psnr_init, sr8_init = eval_psnr(state.g_ema, state.g_stats)
+    psnr_init = float(psnr_init)
+    print(f"eval compile: {time.perf_counter() - t0:.1f}s; "
+          f"baselines: bicubic {psnr_bic:.2f} dB, init {psnr_init:.2f} dB",
+          flush=True)
+
+    def save_strip(sr8, path, n_show=4):
+        sr = np.asarray(jax.device_get(sr8))[:n_show]
+        gt = np.asarray(jax.device_get(gt256))[:n_show]
+        strip = np.concatenate(
+            [np.concatenate(list(sr), 1), np.concatenate(list(gt), 1)], 0)
+        Image.fromarray(strip).save(path)
+
+    save_strip(sr8_init, os.path.join(args.out, "sample_init.png"))
+
+    K = args.scan_k
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch)
+    curve_path = os.path.join(args.out, "curve.jsonl")
+    curve = [{"step": 0, "psnr_ema": psnr_init, "psnr_bicubic": psnr_bic}]
+    with open(curve_path, "w") as f:
+        f.write(json.dumps(curve[0]) + "\n")
+
+    step_rng = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    state, ms, step_rng = trainer.train_steps(state, stacked, step_rng)
+    float(ms["g_loss"][-1])
+    print(f"train_steps compile + first {K}: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    steps_done = K
+    t_train = time.perf_counter()
+    next_eval = args.eval_every
+    while steps_done < args.steps:
+        state, ms, step_rng = trainer.train_steps(state, stacked, step_rng)
+        steps_done += K
+        if steps_done >= next_eval or steps_done >= args.steps:
+            next_eval += args.eval_every
+            last = {kk: float(v[-1]) for kk, v in ms.items()}
+            pe, sr8 = eval_psnr(state.g_ema, state.g_stats)
+            pr, _ = eval_psnr(state.g_params, state.g_stats)
+            rec = {"step": steps_done, "psnr_ema": float(pe),
+                   "psnr_raw": float(pr),
+                   "d_loss": last["d_loss"], "g_loss": last["g_loss"],
+                   "adv": last["adv"], "pixel": last["pixel"],
+                   "kl": last["kl"],
+                   "wall_s": round(time.perf_counter() - t_train, 1)}
+            curve.append(rec)
+            with open(curve_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"step {steps_done}: EMA {rec['psnr_ema']:.2f} dB "
+                  f"(raw {rec['psnr_raw']:.2f}) | d {rec['d_loss']:.2f} "
+                  f"g {rec['g_loss']:.2f} pix {rec['pixel']:.3f}", flush=True)
+            if not np.isfinite(rec["psnr_ema"]) or not np.isfinite(
+                    rec["g_loss"]):
+                print("NON-FINITE -- aborting", flush=True)
+                break
+            if steps_done in (args.eval_every * 5,) or steps_done >= args.steps:
+                save_strip(sr8, os.path.join(args.out,
+                                             f"sample_{steps_done:06d}.png"))
+
+    best = max(c.get("psnr_ema", -1) for c in curve)
+    print(f"DONE: {steps_done} steps, best EMA PSNR-Y {best:.2f} dB "
+          f"(bicubic {psnr_bic:.2f}, init {psnr_init:.2f})", flush=True)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        xs = [c["step"] for c in curve if "psnr_ema" in c]
+        ys = [c["psnr_ema"] for c in curve if "psnr_ema" in c]
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.plot(xs, ys, label="EMA G PSNR-Y", color="#3b6ea5")
+        ax.axhline(psnr_bic, ls="--", color="#888",
+                   label=f"bicubic {psnr_bic:.1f} dB")
+        ax.axhline(psnr_init, ls=":", color="#bbb",
+                   label=f"random init {psnr_init:.1f} dB")
+        ax.set_xlabel("fused D+G steps")
+        ax.set_ylabel("PSNR-Y vs GT (dB)")
+        ax.set_title(f"Overfit learning proof (batch {B}, {args.base}->"
+                     f"{sizes[-1]})")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, "curve.png"), dpi=120)
+        print(f"curve written to {args.out}/curve.png", flush=True)
+    except Exception as e:  # plotting is best-effort
+        print(f"plot skipped: {e}", flush=True)
+    print("OVERFIT OK" if best > psnr_bic else "OVERFIT BELOW BICUBIC",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

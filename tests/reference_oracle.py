@@ -57,6 +57,39 @@ def _install_stubs():
     torch.nn.Module.cuda = lambda self, *a, **k: self
 
 
+def load_reference_utils(font_path: str):
+    """Import the reference miscc/utils.py (visualization layer) with its
+    two unportable dependencies redirected: `skimage.transform` (not
+    installed) delegates to tgsr_tpu.utils.skimage_compat, and the
+    hardcoded Windows FreeMono path (miscc/utils.py:36) resolves to
+    `font_path`. Both substitutions are shared with the tgsr_tpu side, so
+    oracle diffs exercise everything else exactly."""
+    load_reference()
+    if "skimage" not in sys.modules:
+        from tgsr_tpu.utils import skimage_compat
+
+        sk = types.ModuleType("skimage")
+        sk.transform = types.ModuleType("skimage.transform")
+        sk.transform.resize = skimage_compat.resize
+        sk.transform.pyramid_expand = skimage_compat.pyramid_expand
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = sk.transform
+    from PIL import ImageFont
+
+    if not getattr(ImageFont.truetype, "_tgsr_patched", False):
+        _orig = ImageFont.truetype
+
+        def _truetype(path, size=10, *a, **k):
+            return _orig(font_path, size, *a, **k)
+
+        _truetype._tgsr_patched = True
+        ImageFont.truetype = _truetype
+
+    import miscc.utils as ref_utils
+
+    return ref_utils
+
+
 def load_reference():
     """Returns a dict of reference modules {model, util, GlobalAttention,
     losses, config} with cfg merged from the face eval YAML."""

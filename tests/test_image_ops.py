@@ -89,6 +89,30 @@ def test_bucket_and_crop():
     assert (oh, ow) == (136, 208)
 
 
+def test_ssim_skimage_oracle():
+    """Pin `ssim` numerically to skimage.structural_similarity's
+    gaussian-weighted form (gaussian_weights=True, sigma=1.5,
+    use_sample_covariance=False, truncate=3.5 => 11-tap VALID window).
+    skimage itself is not installed here; the oracle is the scipy.ndimage
+    reimplementation of its documented algorithm
+    (utils/skimage_compat.structural_similarity), cross-pinned by
+    hardcoded constants from that oracle on these exact seeded inputs."""
+    from tgsr_tpu.utils.skimage_compat import structural_similarity
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 255, (32, 32)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 12, (32, 32)), 0, 255)
+    c = np.clip(a * 0.9 + 10, 0, 255)
+    expected = {"noisy": 0.9849800007410433, "affine": 0.9942313642482647}
+    for name, (x, y) in {"noisy": (a, b), "affine": (a, c)}.items():
+        oracle = structural_similarity(x, y)
+        assert abs(oracle - expected[name]) < 1e-12, name
+        ours = float(ssim(x[None, :, :, None].astype(np.float32),
+                          y[None, :, :, None].astype(np.float32))[0])
+        assert abs(ours - oracle) < 2e-5, (name, ours, oracle)
+    assert structural_similarity(a, a) == 1.0
+
+
 def test_ssim_basic_properties():
     rng = np.random.default_rng(1)
     a = rng.integers(0, 256, (2, 32, 32, 1)).astype(np.float32)

@@ -128,10 +128,12 @@ def main(argv=None):
             r = int(np.sqrt(attn.shape[-1]))
             attn_maps = np.asarray(attn).reshape(
                 attn.shape[0], attn.shape[1], r, r)
+            # = pretrain_DAMSM.py:122-129's build_super_images(img, captions,
+            # ixtoword, attn_maps, att_sze) call: all words, exact layout
+            imgs_f = np.asarray(batch["hr"][:4], np.float32) / 127.5 - 1.0
             grid, _ = build_super_images(
-                batch["hr"][:4], batch["captions"][:4],
-                batch["cap_lens"][:4], train_ds.vocab.ixtoword,
-                attn_maps[:4], vis_size=128, top_k=5)
+                imgs_f, np.asarray(batch["captions"][:4]),
+                train_ds.vocab.ixtoword, attn_maps[:4], att_sze=r)
             if grid is not None:
                 Image.fromarray(grid).save(
                     os.path.join(image_dir, f"attention_maps{epoch}.png"))

@@ -246,10 +246,12 @@ def main(argv=None):
             stem = os.path.splitext(key)[0]
             Image.fromarray(sr8[j]).save(
                 os.path.join(out_dir, f"{stem}_SR.png"))
+            # vis_size 256 = build_super_imagesall's default; the layout is
+            # only self-consistent at 256 (miscc/utils.py:410 hardcodes it)
             grid, _ = build_super_images_all(
                 sr8[j:j + 1], batch["captions"][j:j + 1],
                 [batch["cap_lens"][j]], ds.vocab.ixtoword,
-                attn0[j:j + 1], vis_size=attn0.shape[-1] * 2)
+                attn0[j:j + 1])
             if grid is not None:
                 Image.fromarray(grid).save(
                     os.path.join(att_dir, f"{stem}.png"))
