@@ -38,6 +38,8 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="mixed precision (GANTrainer compute_dtype=bf16); "
                         "required for batch >= 128 on one v5e (docs/PERF.md)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize G stages (batch >= 256 on one v5e)")
     args = p.parse_args()
 
     if args.cpu:
@@ -111,7 +113,8 @@ def main():
                          jnp.asarray(batches[0]["cap_lens"]))
     trainer = GANTrainer(
         cfg, vocab, text_vars,
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=args.remat)
 
     t0 = time.perf_counter()
     state = trainer.init_state(k, batch_size=B)

@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--manualSeed", type=int, default=100)
     parser.add_argument("--log_every", type=int, default=20)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize G stages in the backward "
+                             "(enables batch >= 256 on one v5e)")
     parser.add_argument("--bf16", action="store_true",
                         help="mixed precision: bf16 G/D compute, f32 master "
                              "weights/opt/losses")
@@ -98,7 +101,8 @@ def main(argv=None):
     trainer = GANTrainer(cfg, ds.n_words, text_vars,
                          image_encoder_apply=image_encoder_apply,
                          compute_dtype=jnp.bfloat16 if args.bf16
-                         else jnp.float32)
+                         else jnp.float32,
+                         remat=args.remat)
     state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
                                batch_size=cfg.TRAIN.BATCH_SIZE)
 

@@ -67,6 +67,8 @@ class GANTrainer:
         ema_decay: float = 0.999,
         compute_dtype: jnp.dtype = jnp.float32,
         grad_accum: int = 1,
+        loss_weights: Optional[Dict[str, float]] = None,
+        remat: bool = False,
     ):
         """`compute_dtype=jnp.bfloat16` runs the G/D conv stacks in bf16
         (standard mixed precision): params/optimizer/EMA stay f32, casts
@@ -74,7 +76,16 @@ class GANTrainer:
         (flax upcasts moments), logits are cast back to f32 before the BCE.
         Inference fidelity of fully-cast bf16 is 55.7 dB vs f32
         (docs/PERF.md); training-step metric agreement is tested in
-        tests/test_gan_trainer_sharding.py."""
+        tests/test_gan_trainer_sharding.py.
+
+        `loss_weights` scales the G composite's terms: keys 'adv', 'pixel',
+        'kl', each default 1.0 (the reconstructed reference contract,
+        SURVEY.md 3.5 -- the snapshot ships no trainer, so the combination
+        weights are a framework knob). SR-GAN practice weights the
+        adversarial term far below the content term (SRGAN uses 1e-3);
+        pixel-dominant settings are what the overfit learning proof uses
+        (examples/overfit_demo.py). Metrics always report UNWEIGHTED term
+        values; 'g_loss' is the weighted total that is differentiated."""
         self.cfg = cfg
         self.mesh = mesh
         self.ema_decay = ema_decay
@@ -85,11 +96,17 @@ class GANTrainer:
         self.text_vars = text_vars  # frozen DAMSM encoder
         self.image_encoder_apply = image_encoder_apply
 
+        # remat=True rematerializes G-stage activations in the backward
+        # (jax.checkpoint via nn.remat): trades ~1 extra stage forward for
+        # not keeping the 2x-channel GLU temps and attention buffers live --
+        # required for batch >= 256 on a single 16 GB v5e (docs/PERF.md).
         self.netg = GSRNetLow(ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
-                              n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM)
+                              n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
+                              remat=remat)
         self.netgh = NetGHighWeight(ngf=cfg.GAN.GF_DIM,
                                     weightmap=cfg.EVAL.WEIGHTMAP,
-                                    low=cfg.EVAL.INPUT_NETGH)
+                                    low=cfg.EVAL.INPUT_NETGH,
+                                    remat=remat)
         self.sizes = cfg.pyramid_sizes()
         self.dnets = [
             DNet(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM, img_size=s)
@@ -104,6 +121,7 @@ class GANTrainer:
             self.g_tx = optax.MultiSteps(self.g_tx, grad_accum)
             self.d_tx = optax.MultiSteps(self.d_tx, grad_accum)
         self.grad_accum = grad_accum
+        self.loss_weights = dict(loss_weights or {})
         self.train_step = self._build_train_step()
         self._train_scan = None  # built lazily (compile cost)
 
@@ -316,7 +334,9 @@ class GANTrainer:
                 kl = kl_loss(mu_g, logvar_g)
                 pix = mse_pyramid(fake_g, real_pyr) + mse_pyramid(fine_g,
                                                                   real_pyr)
-                total = adv + kl + pix
+                w = self.loss_weights
+                total = (w.get("adv", 1.0) * adv + w.get("kl", 1.0) * kl
+                         + w.get("pixel", 1.0) * pix)
                 logs.update({"kl": kl, "pixel": pix, "adv": adv})
                 return total, (logs, new_stats, stats_cell)
 

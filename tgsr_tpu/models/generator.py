@@ -139,6 +139,7 @@ class GSRNetLow(nn.Module):
     r_num: int = 2
     use_tanh_heads: bool = False
     fused_upsample: bool = False
+    remat: bool = False  # rematerialize each stage in the backward pass
 
     @nn.compact
     def __call__(
@@ -151,20 +152,29 @@ class GSRNetLow(nn.Module):
         train: bool = False,
         outmiddle: bool = False,
     ):
+        # remat trades FLOPs for HBM: only stage BOUNDARY features are kept
+        # live for the backward; the intra-stage attention materialization
+        # and the 2x-channel GLU pre-activations (the largest buffers at the
+        # 128/256px stages) are recomputed. Unlocks batch >= 256 on one v5e
+        # (docs/PERF.md "Training batch scaling").
+        InitCls, NextCls = InitStageGImgUp, NextStageG
+        if self.remat:
+            InitCls = nn.remat(InitCls, static_argnums=(4,))
+            NextCls = nn.remat(NextCls, static_argnums=(4,))
         fake_imgs: List[jax.Array] = []
         att_maps: List[jax.Array] = []
         feats: List[jax.Array] = []
         _, mu, logvar = CANet(self.c_dim, name="ca_net")(sent_emb, rng)
-        h, att = InitStageGImgUp(self.ngf, self.r_num,
-                                 fused_upsample=self.fused_upsample,
-                                 name="h_net1")(lr_img, words, mask, train)
+        h, att = InitCls(self.ngf, self.r_num,
+                         fused_upsample=self.fused_upsample,
+                         name="h_net1")(lr_img, words, mask, train)
         feats.append(h)
         fake_imgs.append(GetImageG(self.use_tanh_heads, name="img_net1")(h))
         att_maps.append(att)
         for s in range(2, self.n_stages + 1):
-            h, att = NextStageG(self.ngf, self.r_num,
-                                fused_upsample=self.fused_upsample,
-                                name=f"h_net{s}")(h, words, mask, train)
+            h, att = NextCls(self.ngf, self.r_num,
+                             fused_upsample=self.fused_upsample,
+                             name=f"h_net{s}")(h, words, mask, train)
             feats.append(h)
             fake_imgs.append(
                 GetImageG(self.use_tanh_heads, name=f"img_net{s}")(h)

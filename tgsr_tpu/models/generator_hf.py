@@ -87,6 +87,7 @@ class NetGHighWeight(nn.Module):
     n_res: int = 6
     sizes: tuple = (64, 128, 256)  # weightmap spatial sizes (a1, a2, a3)
     fused_upsample: bool = False
+    remat: bool = False  # rematerialize per-block (2x-channel GLU temps)
 
     @nn.compact
     def __call__(
@@ -105,9 +106,15 @@ class NetGHighWeight(nn.Module):
         else:
             raise ValueError(self.low)
 
+        ResCls, ResSeqCls, UpCls = ResBlock, _ResidualSeq, UpBlock
+        if self.remat:
+            ResCls = nn.remat(ResCls, static_argnums=(2,))
+            ResSeqCls = nn.remat(ResSeqCls, static_argnums=(2,))
+            UpCls = nn.remat(UpCls, static_argnums=(2,))
+
         out = _ConvInBlock(self.ngf, name="convin")(x, train)
         for i in range(self.n_res):
-            out = ResBlock(self.ngf, name=f"residual_{i}")(out, train)
+            out = ResCls(self.ngf, name=f"residual_{i}")(out, train)
 
         conv_output = _ConvOutput(self.use_act, name="conv_output")
 
@@ -126,15 +133,15 @@ class NetGHighWeight(nn.Module):
             ones = [1.0, 1.0, 1.0]
 
         fu = self.fused_upsample
-        out = UpBlock(self.ngf, fused=fu, name="upscale2x")(out, train)
+        out = UpCls(self.ngf, fused=fu, name="upscale2x")(out, train)
         ims2 = ones[0] * conv_output(out) + weights[0] * srb[0]
 
-        out = _ResidualSeq(self.ngf, name="residual24")(out, train)
-        out = UpBlock(self.ngf, fused=fu, name="upscale4x")(out, train)
+        out = ResSeqCls(self.ngf, name="residual24")(out, train)
+        out = UpCls(self.ngf, fused=fu, name="upscale4x")(out, train)
         ims4 = ones[1] * conv_output(out) + weights[1] * srb[1]
 
-        out = _ResidualSeq(self.ngf, name="residual48")(out, train)
-        out = UpBlock(self.ngf, fused=fu, name="upscale8x")(out, train)
+        out = ResSeqCls(self.ngf, name="residual48")(out, train)
+        out = UpCls(self.ngf, fused=fu, name="upscale8x")(out, train)
         ims8 = ones[2] * conv_output(out) + weights[2] * srb[2]
 
         return [ims2, ims4, ims8], weights[2], ones[2]
