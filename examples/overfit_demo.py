@@ -36,18 +36,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF = "/root/reference"
 
 
-def build_overfit_set(n, base, sizes, vocab, T, seed=0):
+def build_overfit_set(n, base, sizes, vocab, T, seed=0, n_unique=None):
     """Deterministic augmented crops of the shipped face image + seeded
     captions. No per-step noise: overfitting wants fixed targets (real-image
-    crops have nonzero variance, so train-mode BN is well-conditioned)."""
+    crops have nonzero variance, so train-mode BN is well-conditioned).
+
+    `n_unique` < n repeats a smaller crop set to fill the batch: the
+    memorization-feasible configuration (the 256px GT from this 178x218
+    source is itself interpolated, so a diverse 32-crop set cannot be fit
+    above the bicubic baseline by a 1.2M-param model -- measured round 3)."""
     import numpy as np
     from PIL import Image
 
     img = Image.open(os.path.join(REF, "data/face/000155.png")).convert("RGB")
     rng = np.random.default_rng(seed)
+    n_unique = n_unique or n
     lr = np.empty((n, base, base, 3), np.float32)
     pyr = [np.empty((n, s, s, 3), np.float32) for s in sizes]
     for i in range(n):
+        if i >= n_unique:
+            for k in range(len(sizes)):
+                pyr[k][i] = pyr[k][i % n_unique]
+            lr[i] = lr[i % n_unique]
+            continue
         w, h = img.size
         cw = ch = int(min(w, h) * rng.uniform(0.7, 1.0))
         left, top = rng.integers(0, w - cw + 1), rng.integers(0, h - ch + 1)
@@ -63,6 +74,10 @@ def build_overfit_set(n, base, sizes, vocab, T, seed=0):
     lens = rng.integers(4, 15, n).astype(np.int32)
     for i in range(n):
         caps[i, : lens[i]] = rng.integers(1, vocab, lens[i])
+    if n_unique < n:  # keep (LR, caption) -> GT a function
+        for i in range(n_unique, n):
+            caps[i] = caps[i % n_unique]
+            lens[i] = lens[i % n_unique]
     return {
         "lr": lr, "real_pyramid": pyr, "captions": caps, "cap_lens": lens,
         "class_ids": np.arange(n, dtype=np.int32),
@@ -90,6 +105,11 @@ def main():
     p.add_argument("--d-lr", type=float, default=2e-5,
                    help="discriminator LR (reference default 2e-4)")
     p.add_argument("--ema-decay", type=float, default=0.997)
+    p.add_argument("--n-unique", type=int, default=None,
+                   help="unique crops (< batch repeats them): the "
+                        "memorization-feasible configuration")
+    p.add_argument("--g-lr-cosine", action="store_true",
+                   help="cosine-decay G lr 2e-4 -> 2e-6 over --steps")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "overfit"))
     args = p.parse_args()
@@ -125,7 +145,8 @@ def main():
           f"gf {args.gf}/df {args.df}, platform "
           f"{jax.devices()[0].platform}", flush=True)
 
-    data = build_overfit_set(B, args.base, sizes, vocab, T)
+    data = build_overfit_set(B, args.base, sizes, vocab, T,
+                             n_unique=args.n_unique)
     batch = {
         "lr": jax.device_put(data["lr"]),
         "real_pyramid": [jax.device_put(x) for x in data["real_pyramid"]],
@@ -138,11 +159,18 @@ def main():
     enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
     text_vars = enc.init(k, jnp.asarray(batch["captions"]),
                          jnp.asarray(batch["cap_lens"]))
+    g_lr = None
+    if args.g_lr_cosine:
+        import optax
+
+        g_lr = optax.cosine_decay_schedule(
+            cfg.TRAIN.GENERATOR_LR, args.steps, alpha=0.01)
     trainer = GANTrainer(
         cfg, vocab, text_vars,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         ema_decay=args.ema_decay,
-        loss_weights={"adv": args.adv_weight})
+        loss_weights={"adv": args.adv_weight},
+        g_lr=g_lr)
 
     t0 = time.perf_counter()
     state = trainer.init_state(k, batch_size=B)

@@ -69,6 +69,8 @@ class GANTrainer:
         grad_accum: int = 1,
         loss_weights: Optional[Dict[str, float]] = None,
         remat: bool = False,
+        g_lr=None,
+        d_lr=None,
     ):
         """`compute_dtype=jnp.bfloat16` runs the G/D conv stacks in bf16
         (standard mixed precision): params/optimizer/EMA stay f32, casts
@@ -112,8 +114,15 @@ class GANTrainer:
             DNet(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM, img_size=s)
             for s in self.sizes
         ]
-        self.g_tx = optax.adam(cfg.TRAIN.GENERATOR_LR, b1=0.5, b2=0.999)
-        self.d_tx = optax.adam(cfg.TRAIN.DISCRIMINATOR_LR, b1=0.5, b2=0.999)
+        # g_lr/d_lr override cfg.TRAIN.*_LR; either may be a float or an
+        # optax schedule (step -> lr), e.g. cosine decay for long overfit
+        # demonstrations (examples/overfit_demo.py)
+        self.g_tx = optax.adam(
+            cfg.TRAIN.GENERATOR_LR if g_lr is None else g_lr,
+            b1=0.5, b2=0.999)
+        self.d_tx = optax.adam(
+            cfg.TRAIN.DISCRIMINATOR_LR if d_lr is None else d_lr,
+            b1=0.5, b2=0.999)
         if grad_accum > 1:
             # effective batch = grad_accum * batch: grads accumulate across
             # micro-steps, both optimizers apply every grad_accum-th step
