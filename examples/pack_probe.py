@@ -55,10 +55,16 @@ def main():
         (block_until_ready does not sync on this stack -- docs/PERF.md)."""
         @jax.jit
         def run(salt, *xs):
-            def body(carry, i):
+            def salted(x, i):
                 # real per-iteration input perturbation: defeats both result
                 # caching and loop-invariant hoisting of the measured op
-                out = fn(*[x + (salt + i).astype(x.dtype) * 1e-6 for x in xs])
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    return x + ((salt.astype(jnp.int32) + i) % 2).astype(
+                        x.dtype)
+                return x + (salt + i).astype(x.dtype) * 1e-6
+
+            def body(carry, i):
+                out = fn(*[salted(x, i) for x in xs])
                 return carry + jnp.sum(out.astype(jnp.float32)), ()
 
             tot, _ = jax.lax.scan(body, 0.0, jnp.arange(args.reps))
@@ -155,6 +161,56 @@ def main():
     results["glu_base"] = timed("base", bnglu, z)
     results["glu_packed"] = timed("packed relabel", bnglu_packed, zp)
 
+    # ------------- int8 requantize pass: BN+GLU+quantize, int8 out --------
+    # The int8 serving profile's biggest leak (~22%) is standalone
+    # round-nearest-even_convert fusions. int8 min tile is (32, 128) LANES:
+    # a C=32 int8 tensor fills 32/128 lanes; packing 4 images -> C=128.
+    def requant(a):
+        c = a.shape[-1] // 2
+        h = a * 1.1 + 0.05
+        g = h[..., :c] * jax.nn.sigmoid(h[..., c:])
+        return jnp.round(jnp.clip(g.astype(jnp.float32) / 0.02,
+                                  -127, 127)).astype(jnp.int8)
+
+    def requant_packed(a):
+        b, h, w_, cc = a.shape
+        a = jnp.reshape(a, (b, h, w_, G, cc // G))
+        c = cc // G // 2
+        hh = a * 1.1 + 0.05
+        g = hh[..., :c] * jax.nn.sigmoid(hh[..., c:])
+        g = jnp.reshape(g, (b, h, w_, G * c))
+        return jnp.round(jnp.clip(g.astype(jnp.float32) / 0.02,
+                                  -127, 127)).astype(jnp.int8)
+
+    print(f"BN+GLU+int8-requantize over [B,{S},{S},{2*C}]:", flush=True)
+    results["rq_base"] = timed("base", requant, z)
+    results["rq_packed"] = timed("packed relabel", requant_packed, zp)
+
+    # int8 conv at the up-conv geometry (the int8 serving path's hot op)
+    zq = jnp.round(jnp.clip(y.astype(jnp.float32) / 0.02, -127, 127)
+                   ).astype(jnp.int8)
+    zqp = jnp.reshape(jnp.transpose(
+        jnp.reshape(zq, (B // G, G, S2, S2, C)), (0, 2, 3, 1, 4)),
+        (B // G, S2, S2, G * C))
+    wq = jnp.round(jnp.clip(np.asarray(wu, np.float32) / 0.01, -127, 127)
+                   ).astype(jnp.int8)
+    wqd = jnp.round(jnp.clip(np.asarray(wud, np.float32) / 0.01, -127, 127)
+                    ).astype(jnp.int8)
+    wqg = jnp.concatenate([wq] * G, axis=-1)
+
+    def conv_i8(x_, w_, fg=1):
+        return jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), "SAME", feature_group_count=fg,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32).astype(jnp.bfloat16)
+
+    print(f"int8 up2+conv3x3 {C}->{Cout} at {S2}->{S}:", flush=True)
+    results["i8_base"] = timed("base", lambda a: conv_i8(up2(a), wq), zq)
+    results["i8_pack_dense"] = timed("pack-dense (steady)",
+                                     lambda a: conv_i8(up2(a), wqd), zqp)
+    results["i8_pack_group"] = timed("pack-group (steady)",
+                                     lambda a: conv_i8(up2(a), wqg, G), zqp)
+
     print("\nsummary (speedup vs base, steady-state):", flush=True)
     for seg in ("head", "up"):
         b = results[f"{seg}_base"]
@@ -162,6 +218,12 @@ def main():
             print(f"  {seg} {v}: {b / results[f'{seg}_{v}']:.2f}x", flush=True)
     print(f"  glu packed: "
           f"{results['glu_base'] / results['glu_packed']:.2f}x", flush=True)
+    print(f"  requant packed: "
+          f"{results['rq_base'] / results['rq_packed']:.2f}x", flush=True)
+    print(f"  int8 up pack-dense: "
+          f"{results['i8_base'] / results['i8_pack_dense']:.2f}x", flush=True)
+    print(f"  int8 up pack-group: "
+          f"{results['i8_base'] / results['i8_pack_group']:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
