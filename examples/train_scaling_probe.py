@@ -28,7 +28,9 @@ def main():
     p.add_argument("--df", type=int, default=64)
     p.add_argument("--steps", type=int, default=3, help="profiled steps")
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", nargs="?", const=True, default=False,
+                   choices=[True, False, "all", "low", "high"],
+                   help="--remat (full) or --remat low|high|all")
     args = p.parse_args()
 
     import jax

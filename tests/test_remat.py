@@ -71,3 +71,25 @@ def test_remat_step_matches_baseline():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6,
                                    err_msg=jax.tree_util.keystr(p0))
+
+
+def test_remat_granularity_matches_baseline():
+    """'low'/'high' selective remat must also be numerics-preserving, and
+    an unknown policy must be rejected eagerly."""
+    t0, batch = _setup(remat=False)
+    k, step_rng = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    s0 = t0.init_state(k, batch_size=2)
+    _, m0, _ = t0.train_step(s0, batch, step_rng)
+    for policy in ("low", "high"):
+        t1, _ = _setup(remat=policy)
+        s1 = t1.init_state(k, batch_size=2)
+        _, m1, _ = t1.train_step(s1, batch, step_rng)
+        for name in m0:
+            np.testing.assert_allclose(
+                float(m0[name]), float(m1[name]), rtol=2e-5, atol=2e-6,
+                err_msg=f"{policy}:{name}")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="remat"):
+        _setup(remat="bogus")

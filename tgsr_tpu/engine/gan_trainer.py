@@ -98,17 +98,23 @@ class GANTrainer:
         self.text_vars = text_vars  # frozen DAMSM encoder
         self.image_encoder_apply = image_encoder_apply
 
-        # remat=True rematerializes G-stage activations in the backward
-        # (jax.checkpoint via nn.remat): trades ~1 extra stage forward for
-        # not keeping the 2x-channel GLU temps and attention buffers live --
-        # required for batch >= 256 on a single 16 GB v5e (docs/PERF.md).
+        # remat rematerializes G activations in the backward (jax.checkpoint
+        # via nn.remat): trades recompute for not keeping the 2x-channel GLU
+        # temps and attention buffers live. Accepts False, True/'all' (both
+        # generators), 'low' (GSRNetLow stages only) or 'high' (NetGHighWeight
+        # blocks only) -- required for batch >= 256 on a single 16 GB v5e,
+        # but FULL remat at B=256 measures SLOWER than B=128 without
+        # (docs/PERF.md "Training batch scaling"), hence the granularity.
+        if remat not in (False, True, "all", "low", "high"):
+            raise ValueError(f"remat must be False/True/'all'/'low'/'high', "
+                             f"got {remat!r}")
         self.netg = GSRNetLow(ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
                               n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
-                              remat=remat)
+                              remat=remat in (True, "all", "low"))
         self.netgh = NetGHighWeight(ngf=cfg.GAN.GF_DIM,
                                     weightmap=cfg.EVAL.WEIGHTMAP,
                                     low=cfg.EVAL.INPUT_NETGH,
-                                    remat=remat)
+                                    remat=remat in (True, "all", "high"))
         self.sizes = cfg.pyramid_sizes()
         self.dnets = [
             DNet(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM, img_size=s)
