@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B, H, W, CIN, COUT = 64, 128, 128, 64, 128
-TILE = 32  # output rows per inner step
+TILE = 16  # output rows per inner step (32 exceeds the 16 MB VMEM budget)
 NT = H // TILE
 
 
@@ -145,12 +145,51 @@ def im2col(x, wp, interpret=False):
     )(xp, wp)
 
 
+# --------------------------------------------------------------- pair5 --
+PTILE = 32  # no patch scratch -> VMEM allows the bigger tile
+
+
+def _pair5_kernel(xp_ref, w_ref, o_ref):
+    t = pl.program_id(1)
+    r0 = t * PTILE
+
+    def tap(i):
+        dy, dx = divmod(i, 3)
+        return xp_ref[0, pl.ds(r0 + dy, PTILE),
+                      dx:dx + W, :].reshape(PTILE * W, CIN)
+
+    acc = jnp.zeros((PTILE * W, COUT), jnp.float32)
+    for p in range(5):
+        a = tap(2 * p)
+        b = tap(2 * p + 1) if 2 * p + 1 < 9 else a  # dup; weights zeroed
+        acc = acc + jax.lax.dot_general(
+            jnp.concatenate([a, b], axis=-1), w_ref[p * 128:(p + 1) * 128],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(PTILE, W, COUT).astype(jnp.bfloat16)
+
+
+@jax.jit
+def pair5(x, wp):
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return pl.pallas_call(
+        _pair5_kernel,
+        grid=(B, H // PTILE),
+        in_specs=[
+            pl.BlockSpec((1, H + 2, W + 2, CIN), lambda b, t: (b, 0, 0, 0)),
+            pl.BlockSpec((640, COUT), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, PTILE, W, COUT),
+                               lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, COUT), jnp.bfloat16),
+    )(xp, wp)
+
+
 # ------------------------------------------------------------- dotceil --
 def _dotceil_kernel(p_ref, w_ref, o_ref):
     acc = jax.lax.dot_general(
-        p_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        p_ref[0], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[:] = acc.astype(jnp.bfloat16)
+    o_ref[0] = acc.astype(jnp.bfloat16)
 
 
 @jax.jit
@@ -195,6 +234,13 @@ def main():
         timed("pallas im2col (K=640)", im2col, x, wp, flops=CONV_FLOPS)
     except Exception as e:  # noqa: BLE001
         print(f"im2col failed: {type(e).__name__}: {str(e)[:200]}")
+    try:
+        err5 = float(np.max(np.abs(
+            np.asarray(pair5(x, wp), np.float32) - ref)))
+        print(f"pair5 max|err| vs XLA conv: {err5:.4f}", flush=True)
+        timed("pallas pair5 (5x K=128)", pair5, x, wp, flops=CONV_FLOPS)
+    except Exception as e:  # noqa: BLE001
+        print(f"pair5 failed: {type(e).__name__}: {str(e)[:200]}")
     p = jax.device_put(jax.random.normal(
         jax.random.PRNGKey(2), (B * NT, TILE * W, 640), jnp.bfloat16) * 0.1)
     timed("pure K=640 dot (ceiling)", dotceil, p, wp,

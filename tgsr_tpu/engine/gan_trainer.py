@@ -147,7 +147,15 @@ class GANTrainer:
         """Model/optimizer init. `init_on_cpu` runs the 5 module inits on the
         host CPU backend (when present) and transfers the trees once --
         avoiding 5 separate accelerator compiles, which on a remote-compile
-        TPU stack cost minutes of startup."""
+        TPU stack cost minutes of startup.
+
+        Every parameter/BN-stat shape is batch-independent, so the init
+        forwards always run at a tiny dummy batch no matter what
+        `batch_size` the caller will train with (init at B=256 used to pay
+        a ~15-minute single-core init forward in the scaling probes;
+        identical trees verified by tests/test_remat.py et al., which init
+        at one size and step at another)."""
+        batch_size = min(batch_size, 2)
         if init_on_cpu:
             try:
                 cpu = jax.devices("cpu")[0]
