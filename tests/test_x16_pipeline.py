@@ -154,3 +154,20 @@ def test_x16_int8_quant_path():
     assert out_q.shape == out_f.shape
     d = np.abs(out_q - out_f)
     assert 1e-6 < d.max() < 0.2, d.max()
+
+
+def test_x16_shipped_scales_artifact():
+    """The shipped x16 calibration artifact (examples/x16_bench.py) loads,
+    covers both generators, and the default accessor strips image heads."""
+    from tgsr_tpu.engine.quant import x16_scales
+
+    full = x16_scales(heads=True)
+    assert set(full) == {"netg", "netgh"}
+    n = sum(len(v) for v in full.values())
+    assert n == 33, n
+    assert all(v > 0 for d in full.values() for v in d.values())
+
+    default = x16_scales()
+    assert any("img_net" in k for k in full["netg"])
+    assert not any("img_net" in k for k in default["netg"])
+    assert not any("conv_output" in k for k in default["netgh"])

@@ -32,9 +32,20 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--manualSeed", type=int, default=100)
     parser.add_argument("--log_every", type=int, default=20)
-    parser.add_argument("--remat", action="store_true",
-                        help="rematerialize G stages in the backward "
-                             "(enables batch >= 256 on one v5e)")
+    parser.add_argument("--remat", nargs="?", const=True, default=False,
+                        choices=[True, False, "all", "low", "high"],
+                        help="rematerialize G activations in the backward: "
+                             "--remat (both branches) or --remat low|high "
+                             "(GSRNetLow / NetGHighWeight only). Makes "
+                             "batch >= 256 FIT on one v5e at a ~20-28% "
+                             "step-time cost; B=128 without remat is the "
+                             "measured throughput optimum (docs/PERF.md)")
+    parser.add_argument("--loss_weight", action="append", default=[],
+                        metavar="TERM=W",
+                        help="scale a G composite term, e.g. "
+                             "--loss_weight adv=0.01 --loss_weight pixel=1 "
+                             "(terms: adv, pixel, kl; default 1.0 each — "
+                             "the reconstructed reference contract)")
     parser.add_argument("--bf16", action="store_true",
                         help="mixed precision: bf16 G/D compute, f32 master "
                              "weights/opt/losses")
@@ -98,11 +109,19 @@ def main(argv=None):
         def image_encoder_apply(img):
             return cnn.apply(cnn_vars, img)
 
+    loss_weights = {}
+    for spec in args.loss_weight:
+        term, _, w = spec.partition("=")
+        if term not in ("adv", "pixel", "kl") or not w:
+            parser.error(f"--loss_weight expects adv|pixel|kl=FLOAT, "
+                         f"got {spec!r}")
+        loss_weights[term] = float(w)
     trainer = GANTrainer(cfg, ds.n_words, text_vars,
                          image_encoder_apply=image_encoder_apply,
                          compute_dtype=jnp.bfloat16 if args.bf16
                          else jnp.float32,
-                         remat=args.remat)
+                         remat=args.remat,
+                         loss_weights=loss_weights or None)
     state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
                                batch_size=cfg.TRAIN.BATCH_SIZE)
 

@@ -231,3 +231,20 @@ def face_s8_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
     with open(path) as f:
         scales = json.load(f)
     return scales if heads else drop_head_scales(scales)
+
+
+def x16_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
+    """Shipped calibration for the x16 family (GSRNetLow16 +
+    NetGHighWeight16, BRANCH_NUM=5). NOTE: the reference ships no x16
+    checkpoint (models16.py is code-only), so these scales are calibrated
+    on the fixed-seed random init used by tests/test_models16_oracle.py
+    and the x16 benches; regenerate with examples/x16_bench.py when real
+    weights exist. Keys: {"netg": {...}, "netgh": {...}}."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "checkpoints", "x16_int8_scales.json")
+    with open(path) as f:
+        scales = json.load(f)
+    return scales if heads else drop_head_scales(scales)
