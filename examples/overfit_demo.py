@@ -237,6 +237,7 @@ def main():
     steps_done = K
     t_train = time.perf_counter()
     next_eval = args.eval_every
+    next_strip = args.eval_every * 5
     while steps_done < args.steps:
         state, ms, step_rng = trainer.train_steps(state, stacked, step_rng)
         steps_done += K
@@ -261,9 +262,10 @@ def main():
                     rec["g_loss"]):
                 print("NON-FINITE -- aborting", flush=True)
                 break
-            if steps_done in (args.eval_every * 5,) or steps_done >= args.steps:
+            if steps_done >= next_strip or steps_done >= args.steps:
                 save_strip(sr8, os.path.join(args.out,
                                              f"sample_{steps_done:06d}.png"))
+                next_strip = steps_done + args.eval_every * 5
 
     best = max(c.get("psnr_ema", -1) for c in curve)
     print(f"DONE: {steps_done} steps, best EMA PSNR-Y {best:.2f} dB "

@@ -6,7 +6,9 @@ The reference ships NO x16 checkpoint (models16.py exists but face_S8 is
 x8-only), so weights are a fixed-seed random init -- the same convention as
 tests/test_models16_oracle.py and the round-2 bf16 sweep. The calibration
 artifact (checkpoints/x16_int8_scales.json) is therefore tied to seed 0;
-regenerating for real weights is this same script with --no-save.
+to regenerate for real weights, load them in place of the seeded init and
+run this script (the artifact is rewritten only when the >=35 dB fidelity
+gate passes; --no-save suppresses writing entirely, e.g. for probe runs).
 
 Geometry: BRANCH_NUM=5, BASE_SIZE=32 -> pyramid 64/128/256/512 (x16 SR).
 
@@ -115,12 +117,9 @@ def main():
     scales = {g: merge_scales(s1[g], s2[g]) for g in s1}
     print(f"calibrated {sum(len(v) for v in scales.values())} conv scales "
           f"in {time.perf_counter() - t0:.1f}s", flush=True)
-    if not args.no_save:
-        with open(SCALES_PATH, "w") as f:
-            json.dump(scales, f, indent=1, sort_keys=True)
-        print(f"saved {SCALES_PATH}", flush=True)
 
-    # --- fidelity gate: int8 (bf16 heads) vs f32 on the real image ---
+    # --- fidelity gate: int8 (bf16 heads) vs f32 on the real image
+    # (the artifact save below is CONDITIONED on this gate) ---
     pipe_int8 = SRPipeline(cfg, vocab, tv, gv, ghv,
                            compute_dtype=jnp.bfloat16,
                            quant_scales=drop_head_scales(scales))
@@ -135,6 +134,14 @@ def main():
     print(f"int8 vs f32 on x16 output: rmse {rmse:.3f}/255, "
           f"psnr {psnr:.1f} dB {'(PASS >=35)' if psnr >= 35 else '(FAIL)'}",
           flush=True)
+    if not args.no_save:
+        if psnr >= 35:
+            with open(SCALES_PATH, "w") as f:
+                json.dump(scales, f, indent=1, sort_keys=True)
+            print(f"saved {SCALES_PATH}", flush=True)
+        else:
+            print(f"NOT saving {SCALES_PATH}: fidelity gate failed",
+                  flush=True)
 
     if args.no_sweep:
         return

@@ -74,18 +74,15 @@ def load_reference_utils(font_path: str):
         sk.transform.pyramid_expand = skimage_compat.pyramid_expand
         sys.modules["skimage"] = sk
         sys.modules["skimage.transform"] = sk.transform
+    import miscc.utils as ref_utils
     from PIL import ImageFont
 
-    if not getattr(ImageFont.truetype, "_tgsr_patched", False):
-        _orig = ImageFont.truetype
-
-        def _truetype(path, size=10, *a, **k):
-            return _orig(font_path, size, *a, **k)
-
-        _truetype._tgsr_patched = True
-        ImageFont.truetype = _truetype
-
-    import miscc.utils as ref_utils
+    # Redirect the hardcoded Windows font path in the REFERENCE MODULE'S
+    # namespace only (miscc/utils.py imports ImageFont into its own
+    # globals); patching PIL process-wide would leak into unrelated tests.
+    ref_utils.ImageFont = types.SimpleNamespace(
+        truetype=lambda path, size=10, *a, **k: ImageFont.truetype(
+            font_path, size, *a, **k))
 
     return ref_utils
 

@@ -154,6 +154,31 @@ def test_build_super_imagesall_oracle(ref_utils):
     _assert_close(grid, ref_grid, "build_super_imagesall")
 
 
+def test_build_super_images2_shape_fallback(ref_utils):
+    """Shape-mismatch fallback (miscc/utils.py:236-247): stored 32x32 maps
+    with att_sze=64 fail the view and are bilinearly upsampled per word
+    (nn.Upsample align_corners=False) instead of raising."""
+    from tgsr_tpu.utils.visualize import build_super_images2, default_font
+
+    b, t, att_stored, att = 1, 5, 32, 64
+    imgs, captions, cap_lens, attn, ixtoword = _fixed_inputs(
+        b, t, att_stored, seed=5)
+    assert (t * att_stored * att_stored) % (att * att) != 0
+
+    ref_out = ref_utils.build_super_images2(
+        torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+        torch.from_numpy(captions), cap_lens, ixtoword,
+        [torch.from_numpy(attn[i]) for i in range(b)], att, topK=4)
+    assert ref_out is not None
+    ref_grid, ref_sent = ref_out
+
+    grid, sent = build_super_images2(
+        imgs, captions, cap_lens, ixtoword, [attn[i] for i in range(b)],
+        att, topK=4, font=default_font(50))
+    assert sent == ref_sent
+    _assert_close(grid, ref_grid, "build_super_images2 shape fallback")
+
+
 def test_no_upscale_branch(ref_utils):
     """att_sze == vis_size skips smoothing entirely (both functions use
     `vis_size // att_sze > 1` gates) -- structural layout must still

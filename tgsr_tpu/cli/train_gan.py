@@ -54,6 +54,18 @@ def main(argv=None):
                              "--out_dir/ckpt")
     args = parser.parse_args(argv)
 
+    loss_weights = {}
+    for spec in args.loss_weight:
+        term, _, w = spec.partition("=")
+        try:
+            loss_weights[term] = float(w)
+        except ValueError:
+            parser.error(f"--loss_weight expects adv|pixel|kl=FLOAT, "
+                         f"got {spec!r}")
+        if term not in ("adv", "pixel", "kl"):
+            parser.error(f"--loss_weight expects adv|pixel|kl=FLOAT, "
+                         f"got {spec!r}")
+
     import jax
     import jax.numpy as jnp
 
@@ -109,13 +121,6 @@ def main(argv=None):
         def image_encoder_apply(img):
             return cnn.apply(cnn_vars, img)
 
-    loss_weights = {}
-    for spec in args.loss_weight:
-        term, _, w = spec.partition("=")
-        if term not in ("adv", "pixel", "kl") or not w:
-            parser.error(f"--loss_weight expects adv|pixel|kl=FLOAT, "
-                         f"got {spec!r}")
-        loss_weights[term] = float(w)
     trainer = GANTrainer(cfg, ds.n_words, text_vars,
                          image_encoder_apply=image_encoder_apply,
                          compute_dtype=jnp.bfloat16 if args.bf16

@@ -215,6 +215,18 @@ def drop_head_scales(scales: Dict[str, Dict[str, float]]
             for g, d in scales.items()}
 
 
+def _load_shipped_scales(filename: str, heads: bool
+                         ) -> Dict[str, Dict[str, float]]:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "checkpoints", filename)
+    with open(path) as f:
+        scales = json.load(f)
+    return scales if heads else drop_head_scales(scales)
+
+
 def face_s8_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
     """Shipped calibration for the reference face_S8 checkpoints (margin
     1.1, noise-augmented face batch; see SRPipeline.calibrate_quant to
@@ -222,15 +234,7 @@ def face_s8_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
 
     heads=False (default) leaves the image-head convs in bf16 -- the
     faster AND higher-fidelity configuration (see drop_head_scales)."""
-    import json
-    import os
-
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "checkpoints",
-        "face_s8_int8_scales.json")
-    with open(path) as f:
-        scales = json.load(f)
-    return scales if heads else drop_head_scales(scales)
+    return _load_shipped_scales("face_s8_int8_scales.json", heads)
 
 
 def x16_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
@@ -239,12 +243,6 @@ def x16_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
     checkpoint (models16.py is code-only), so these scales are calibrated
     on the fixed-seed random init used by tests/test_models16_oracle.py
     and the x16 benches; regenerate with examples/x16_bench.py when real
-    weights exist. Keys: {"netg": {...}, "netgh": {...}}."""
-    import json
-    import os
-
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "checkpoints", "x16_int8_scales.json")
-    with open(path) as f:
-        scales = json.load(f)
-    return scales if heads else drop_head_scales(scales)
+    weights exist (the artifact save is gated on the >=35 dB fidelity
+    check). Keys: {"netg": {...}, "netgh": {...}}."""
+    return _load_shipped_scales("x16_int8_scales.json", heads)

@@ -212,6 +212,25 @@ def build_super_images(
     return np.concatenate(img_set, 0).astype(np.uint8), sentences
 
 
+def _bilinear_align_false(maps: np.ndarray, out_h: int,
+                          out_w: int) -> np.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False) over a
+    [N, h, w] stack -- the upsample the reference's shape-mismatch
+    fallback uses (miscc/utils.py:241-242)."""
+    n, h, w = maps.shape
+    ys = np.maximum((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0.0)
+    xs = np.maximum((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0.0)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).astype(np.float32)[None, :, None]
+    fx = (xs - x0).astype(np.float32)[None, None, :]
+    top = maps[:, y0][:, :, x0] * (1 - fx) + maps[:, y0][:, :, x1] * fx
+    bot = maps[:, y1][:, :, x0] * (1 - fx) + maps[:, y1][:, :, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def _build_super_images2_core(real_imgs, captions, cap_lens, ixtoword,
                               attn_maps, att_sze, att_sze1, vis_size, topK,
                               reorder, numbered, font):
@@ -242,8 +261,16 @@ def _build_super_images2_core(real_imgs, captions, cap_lens, ixtoword,
 
     img_set = []
     for i in range(num):
-        attn = np.asarray(attn_maps[i], np.float32).reshape(
-            -1, att_sze, att_sze1)
+        a = np.asarray(attn_maps[i], np.float32)
+        if a.size % (att_sze * att_sze1) == 0:
+            attn = a.reshape(-1, att_sze, att_sze1)
+        else:
+            # Reference fallback (miscc/utils.py:236-247): a map whose
+            # stored geometry disagrees with att_sze is bilinearly resized
+            # (torch nn.Upsample, align_corners=False) per word instead of
+            # raising.
+            attn = _bilinear_align_false(
+                a.reshape(-1, a.shape[-2], a.shape[-1]), att_sze, att_sze1)
         attn = np.repeat(attn[:, :, :, None], 3, axis=-1)
         num_attn = int(cap_lens[i])
         thresh = 2.0 / float(num_attn)
