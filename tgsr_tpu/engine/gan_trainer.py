@@ -108,13 +108,34 @@ class GANTrainer:
         if remat not in (False, True, "all", "low", "high"):
             raise ValueError(f"remat must be False/True/'all'/'low'/'high', "
                              f"got {remat!r}")
-        self.netg = GSRNetLow(ngf=cfg.GAN.GF_DIM, c_dim=cfg.GAN.CONDITION_DIM,
-                              n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
-                              remat=remat in (True, "all", "low"))
-        self.netgh = NetGHighWeight(ngf=cfg.GAN.GF_DIM,
-                                    weightmap=cfg.EVAL.WEIGHTMAP,
-                                    low=cfg.EVAL.INPUT_NETGH,
-                                    remat=remat in (True, "all", "high"))
+        # model family switch (same convention as SRPipeline /
+        # trainer_objective.py:74-88: BRANCH_NUM==4 is the x8 model.py
+        # family, anything else the models16 x16 family with its tying
+        # quirks). The step/losses/D stack are scale-generic.
+        if cfg.TREE.BRANCH_NUM == 4:
+            self.netg = GSRNetLow(ngf=cfg.GAN.GF_DIM,
+                                  c_dim=cfg.GAN.CONDITION_DIM,
+                                  n_stages=cfg.n_stages, r_num=cfg.GAN.R_NUM,
+                                  remat=remat in (True, "all", "low"))
+            self.netgh = NetGHighWeight(ngf=cfg.GAN.GF_DIM,
+                                        weightmap=cfg.EVAL.WEIGHTMAP,
+                                        low=cfg.EVAL.INPUT_NETGH,
+                                        remat=remat in (True, "all", "high"))
+        else:
+            from tgsr_tpu.models.models16 import (
+                GSRNetLow16,
+                NetGHighWeight16,
+            )
+
+            self.netg = GSRNetLow16(ngf=cfg.GAN.GF_DIM,
+                                    c_dim=cfg.GAN.CONDITION_DIM,
+                                    r_num=cfg.GAN.R_NUM,
+                                    remat=remat in (True, "all", "low"))
+            self.netgh = NetGHighWeight16(
+                ngf=cfg.GAN.GF_DIM, weightmap=cfg.EVAL.WEIGHTMAP,
+                low=cfg.EVAL.INPUT_NETGH,
+                sizes=tuple(cfg.pyramid_sizes()),
+                remat=remat in (True, "all", "high"))
         self.sizes = cfg.pyramid_sizes()
         self.dnets = [
             DNet(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM, img_size=s)

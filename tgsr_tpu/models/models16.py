@@ -42,16 +42,23 @@ class GSRNetLow16(nn.Module):
     ngf: int = 32
     c_dim: int = 100
     r_num: int = 2
+    remat: bool = False  # rematerialize each stage in the backward pass
 
     @nn.compact
     def __call__(self, lr_img, sent_emb, words, mask, rng=None, train=False):
         _, mu, logvar = CANet(self.c_dim, name="ca_net")(sent_emb, rng)
+        # remat keeps only stage-boundary features live in the backward
+        # (same policy as the x8 GSRNetLow, generator.py)
+        InitCls, NextCls = InitStageGImgUp, NextStageG
+        if self.remat:
+            InitCls = nn.remat(InitCls, static_argnums=(4,))
+            NextCls = nn.remat(NextCls, static_argnums=(4,))
         # ONE shared next-stage and ONE shared image head
-        next_stage = NextStageG(self.ngf, self.r_num, name="h_net2")
+        next_stage = NextCls(self.ngf, self.r_num, name="h_net2")
         img_net = GetImageG(use_tanh=True, name="img_net1")
 
         fake_imgs, att_maps = [], []
-        h, att = InitStageGImgUp(self.ngf, self.r_num, name="h_net1")(
+        h, att = InitCls(self.ngf, self.r_num, name="h_net1")(
             lr_img, words, mask, train)
         fake_imgs.append(img_net(h))
         att_maps.append(att)
@@ -100,6 +107,7 @@ class NetGHighWeight16(nn.Module):
     n_res: int = 6
     sizes: tuple = (32, 64, 128, 256)
     fix_bugs: bool = False  # True corrects models16.py:171-178
+    remat: bool = False  # rematerialize per-block (2x-channel GLU temps)
 
     @nn.compact
     def __call__(self, lr_img, srb: List[jax.Array], lr_blur=None,
@@ -113,18 +121,27 @@ class NetGHighWeight16(nn.Module):
         else:
             raise ValueError(self.low)
 
+        # same per-block remat policy as the x8 NetGHighWeight
+        # (generator_hf.py): ResBlock/_ResidualSeq/UpBlock recompute in the
+        # backward; param trees are unchanged by nn.remat
+        ResCls, ResSeqCls, UpCls = ResBlock, _ResidualSeq, UpBlock
+        if self.remat:
+            ResCls = nn.remat(ResCls, static_argnums=(2,))
+            ResSeqCls = nn.remat(ResSeqCls, static_argnums=(2,))
+            UpCls = nn.remat(UpCls, static_argnums=(2,))
+
         out = _ConvInBlock(self.ngf, name="convin")(x, train)
         for i in range(self.n_res):
-            out = ResBlock(self.ngf, name=f"residual_{i}")(out, train)
+            out = ResCls(self.ngf, name=f"residual_{i}")(out, train)
 
         conv_output = _ConvOutput(True, name="conv_output")
-        up2 = UpBlock(self.ngf, name="upscale2x")
-        up4 = UpBlock(self.ngf, name="upscale4x")
-        up8 = UpBlock(self.ngf, name="upscale8x")
-        up16 = UpBlock(self.ngf, name="upscale16x")
-        res24 = _ResidualSeq(self.ngf, name="residual24")
-        res48 = _ResidualSeq(self.ngf, name="residual48")
-        res816 = _ResidualSeq(self.ngf, name="residual816")
+        up2 = UpCls(self.ngf, name="upscale2x")
+        up4 = UpCls(self.ngf, name="upscale4x")
+        up8 = UpCls(self.ngf, name="upscale8x")
+        up16 = UpCls(self.ngf, name="upscale16x")
+        res24 = ResSeqCls(self.ngf, name="residual24")
+        res48 = ResSeqCls(self.ngf, name="residual48")
+        res816 = ResSeqCls(self.ngf, name="residual816")
 
         if self.weightmap:
             ws = [self.param(f"a{i+1}", nn.initializers.ones,
