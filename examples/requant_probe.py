@@ -72,9 +72,64 @@ def main():
         g = h[..., :c] * jax.nn.sigmoid(h[..., c:])
         return jnp.round(jnp.clip(g / 0.02, -127, 127)).astype(jnp.int8)
 
+    # --- round-3 follow-up: approximate-sigmoid gates. The pass computes
+    # the GLU in bf16 (eps ~0.004), so any gate approximation with max
+    # error below ~3e-3 is numerically indistinguishable from bf16
+    # sigmoid at the output; the question is only VPU cost. ---
+
+    def _requant(g):
+        return jnp.round(
+            jnp.clip(g.astype(jnp.float32) / 0.02, -127, 127)).astype(jnp.int8)
+
+    def requant_hard(a):
+        # hardsigmoid clip(x/6+1/2, 0, 1): max err ~0.077 vs sigmoid
+        c = a.shape[-1] // 2
+        h = a * 1.1 + 0.05
+        gate = jnp.clip(h[..., c:] * jnp.bfloat16(1 / 6) + jnp.bfloat16(0.5),
+                        0, 1)
+        return _requant(h[..., :c] * gate)
+
+    def requant_rational(a):
+        # 0.5 + 0.5*x/(2+|x|)-ish fast gate: max err ~0.05
+        c = a.shape[-1] // 2
+        h = a * 1.1 + 0.05
+        x = h[..., c:]
+        gate = jnp.bfloat16(0.5) + x / (jnp.bfloat16(2.0) + jnp.abs(2 * x))
+        return _requant(h[..., :c] * gate)
+
+    def requant_pade(a):
+        # sigmoid(x) = 0.5*(1+tanh(x/2)); tanh via Pade(5,4) on the clamped
+        # range |y|<=3.35 (beyond: tanh saturates within bf16 eps).
+        # max |err| vs exact sigmoid ~= 2.4e-3 < bf16 eps band.
+        c = a.shape[-1] // 2
+        h = a * 1.1 + 0.05
+        y = jnp.clip(h[..., c:] * jnp.bfloat16(0.5), -3.35, 3.35)
+        y2 = y * y
+        num = y * (945.0 + y2 * (105.0 + y2))
+        den = 945.0 + y2 * (420.0 + 15.0 * y2)
+        gate = jnp.bfloat16(0.5) + jnp.bfloat16(0.5) * (num / den)
+        return _requant(h[..., :c] * gate)
+
     timed("requant+sigmoid (prod)", requant_sig, z)
     timed("slice+quant only (floor)", copy_only, z)
     timed("requant f32-sigmoid", glu_f32_quant, z)
+    timed("requant hardsigmoid", requant_hard, z)
+    timed("requant rational", requant_rational, z)
+    timed("requant pade(5,4) tanh", requant_pade, z)
+
+    # numeric check of the gate approximations vs f64 sigmoid
+    import numpy as np
+
+    xs = np.linspace(-12, 12, 20001)
+    exact = 1 / (1 + np.exp(-xs))
+    pade_y = np.clip(xs * 0.5, -3.35, 3.35)
+    y2 = pade_y**2
+    pade = 0.5 + 0.5 * (pade_y * (945 + y2 * (105 + y2))
+                        / (945 + y2 * (420 + 15 * y2)))
+    print(f"max|pade - sigmoid| = {np.abs(pade - exact).max():.2e} "
+          f"(bf16 eps band ~4e-3)")
+    hard = np.clip(xs / 6 + 0.5, 0, 1)
+    print(f"max|hard - sigmoid| = {np.abs(hard - exact).max():.2e}")
 
 
 if __name__ == "__main__":

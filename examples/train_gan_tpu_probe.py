@@ -30,6 +30,9 @@ def main():
     p.add_argument("--gf", type=int, default=32)
     p.add_argument("--df", type=int, default=64)
     p.add_argument("--base", type=int, default=32)
+    p.add_argument("--branch", type=int, default=4,
+                   help="TREE.BRANCH_NUM: 4 = x8 family (model.py), "
+                        "5 = x16 family (models16, 32->512)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--n-batches", type=int, default=4,
                    help="distinct device-resident batches cycled")
@@ -61,7 +64,8 @@ def main():
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
-        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=4, BASE_SIZE=args.base),
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=args.branch,
+                                 BASE_SIZE=args.base),
         GAN=dataclasses.replace(cfg.GAN, GF_DIM=args.gf, DF_DIM=args.df),
         TRAIN=dataclasses.replace(cfg.TRAIN, BATCH_SIZE=args.batch),
     )
