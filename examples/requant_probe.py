@@ -110,12 +110,80 @@ def main():
         gate = jnp.bfloat16(0.5) + jnp.bfloat16(0.5) * (num / den)
         return _requant(h[..., :c] * gate)
 
+    # --- structural decomposition: WHERE does the non-floor cost live?
+    # (round-3 finding: hardsigmoid == sigmoid == pade to within noise, so
+    # the pass is NOT transcendental-bound) ---
+
+    def mult_only(a):
+        # both halves read, plain multiply, no gate function at all
+        c = a.shape[-1] // 2
+        h = a * 1.1 + 0.05
+        return _requant(h[..., :c] * h[..., c:])
+
+    def add_only(a):
+        c = a.shape[-1] // 2
+        h = a * 1.1 + 0.05
+        return _requant(h[..., :c] + h[..., c:])
+
+    def affine_only(a):
+        # single-half affine + quantize: floor plus the BN affine
+        c = a.shape[-1] // 2
+        h = a[..., :c] * 1.1 + 0.05
+        return _requant(h)
+
+    def split_axis(a):
+        # same math as prod, but split value/gate on a reshaped axis
+        # instead of slicing the lane dimension in half
+        c = a.shape[-1] // 2
+        h = a * 1.1 + 0.05
+        h2 = h.reshape(*h.shape[:-1], 2, c)
+        g = h2[..., 0, :] * jax.nn.sigmoid(h2[..., 1, :])
+        return _requant(g)
+
+    def sigmoid_inplace(a):
+        # full-width sigmoid, no slicing: isolates the transcendental cost
+        # at full lane occupancy
+        h = a * 1.1 + 0.05
+        return _requant(jax.nn.sigmoid(h))
+
     timed("requant+sigmoid (prod)", requant_sig, z)
     timed("slice+quant only (floor)", copy_only, z)
     timed("requant f32-sigmoid", glu_f32_quant, z)
     timed("requant hardsigmoid", requant_hard, z)
     timed("requant rational", requant_rational, z)
     timed("requant pade(5,4) tanh", requant_pade, z)
+    timed("mult only (no gate fn)", mult_only, z)
+    timed("add only", add_only, z)
+    timed("affine+quant one half", affine_only, z)
+    timed("split on reshaped axis", split_axis, z)
+    timed("sigmoid full width", sigmoid_inplace, z)
+
+    # two-tensor variant: value and gate as SEPARATE arrays (what a
+    # split-conv or a [2,...]-stacked layout would feed this pass)
+    val = jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(1), (B, S, S, C), jnp.bfloat16))
+    gate = jax.device_put(jax.random.normal(
+        jax.random.PRNGKey(2), (B, S, S, C), jnp.bfloat16))
+
+    def timed2(name, fn, reps=20):
+        @jax.jit
+        def run(salt):
+            def body(c_, i):
+                out = fn(val + (salt + i).astype(val.dtype) * 1e-6, gate)
+                return c_ + jnp.sum(out.astype(jnp.float32)), ()
+
+            t, _ = jax.lax.scan(body, 0.0, jnp.arange(reps))
+            return t
+
+        float(run(jnp.float32(0)))
+        t0 = time.perf_counter()
+        float(run(jnp.float32(1)))
+        print(f"{name:30s} {(time.perf_counter() - t0) * 1e3 / reps:7.2f} ms",
+              flush=True)
+
+    timed2("two-tensor val*sig(gate)",
+           lambda v, g: _requant((v * 1.1 + 0.05)
+                                 * jax.nn.sigmoid(g * 1.1 + 0.05)))
 
     # numeric check of the gate approximations vs f64 sigmoid
     import numpy as np

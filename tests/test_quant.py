@@ -125,6 +125,36 @@ def test_upblock_interceptor_matches_float_on_grid():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_split_glu_upblock_bitexact():
+    """The selective value/gate conv split (SPLIT_GLU_INT8_CONSUMERS) is a
+    pure layout change: weight quantization and the conv are both
+    output-channel-separable, so split and unsplit int8 UpBlock paths must
+    agree BIT-FOR-BIT (same per-element scalar ops in the same dtype)."""
+    blk = UpBlock(8, use_bn=True)
+    x = jnp.asarray(RNG.randn(2, 6, 6, 8).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(3), x)
+    # non-trivial BN stats so the affine epilogue is exercised per half
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    v["batch_stats"]["bn"]["mean"] = jnp.asarray(
+        RNG.randn(16).astype(np.float32) * 0.1)
+    v["batch_stats"]["bn"]["var"] = jnp.asarray(
+        RNG.rand(16).astype(np.float32) + 0.5)
+
+    scale = float(np.abs(np.asarray(x)).max())
+    with nn.intercept_methods(quant_interceptor({"conv": scale})):
+        y_plain = blk.apply(v, x)
+    with nn.intercept_methods(quant_interceptor(
+            {"conv": scale}, split_glu=frozenset({"conv"}))):
+        y_split = blk.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_split))
+
+    # keys not in split_glu are unaffected (inert-entry contract)
+    with nn.intercept_methods(quant_interceptor(
+            {"conv": scale}, split_glu=frozenset({"other/conv"}))):
+        y_other = blk.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_other))
+
+
 def test_merge_scales():
     assert merge_scales({"a": 1.0, "b": 3.0}, {"a": 2.0, "c": 1.0}) == \
         {"a": 2.0, "b": 3.0, "c": 1.0}

@@ -158,9 +158,11 @@ class SRPipeline:
             return contextlib.nullcontext()
         from flax import linen as nn
 
-        from tgsr_tpu.engine.quant import quant_interceptor
+        from tgsr_tpu.engine.quant import (SPLIT_GLU_INT8_CONSUMERS,
+                                           quant_interceptor)
 
-        return nn.intercept_methods(quant_interceptor(scales))
+        return nn.intercept_methods(quant_interceptor(
+            scales, split_glu=SPLIT_GLU_INT8_CONSUMERS))
 
     def _lr_blur(self, lr_c):
         """Blurred LR for the HF branch (= prepare_datablur's LRimb,

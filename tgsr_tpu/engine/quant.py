@@ -38,6 +38,17 @@ from tgsr_tpu.ops.blocks import UpBlock, glu, upsample_nearest2x
 
 QMAX = 127.0
 
+# UpBlock call sites whose GLU output is requantized by a following int8
+# conv (next stage's residual conv1 / next upscale) -- the sites where the
+# value/gate conv split pays (see quant_interceptor's split_glu). The final
+# upsample of each stack (h_net3, upscale8x) feeds only a bf16 image head
+# and stays single-conv. Keys are matched against the calibrated-scales
+# keys, so entries absent from a family (e.g. the x16 variants) are inert.
+SPLIT_GLU_INT8_CONSUMERS = frozenset({
+    "h_net1/upsample/conv", "h_net2/upsample/conv",
+    "upscale2x/conv", "upscale4x/conv",
+})
+
 
 def quantize_kernel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """HWIO kernel -> (int8 kernel, per-output-channel step) with symmetric
@@ -118,10 +129,22 @@ def calib_interceptor(records: Dict[str, jax.Array]) -> Callable:
 
 
 def quant_interceptor(scales: Dict[str, float],
-                      out_dtype=jnp.bfloat16) -> Callable:
+                      out_dtype=jnp.bfloat16,
+                      split_glu: Optional[frozenset] = None) -> Callable:
     """Interceptor substituting int8 convs for every nn.Conv / UpBlock whose
     path has a calibrated scale. Paths absent from `scales` run unquantized
-    (the mechanism for keeping e.g. image heads in bf16)."""
+    (the mechanism for keeping e.g. image heads in bf16).
+
+    `split_glu`: UpBlock conv keys whose int8 conv is split into its GLU
+    value/gate halves so the two arrive as SEPARATE buffers. Round-3
+    decomposition (docs/PERF.md "GLU+requantize pass"): the standalone
+    GLU+requantize pass following a single-conv UpBlock is bound by XLA's
+    lowering of the two same-buffer channel-half reads (10.9 ms vs 2.9 ms
+    traffic floor at [256,256,256,64]; two separate buffers: 4.3 ms;
+    isolated conv chain: split wins 1.41x). But splitting EVERY UpBlock
+    regresses e2e (3808 vs 3911 img/s) because GLU outputs feeding only
+    bf16 image heads were free conv-input fusions; the split only pays
+    where the consumer is another int8 conv (a real requantize pass)."""
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
@@ -141,25 +164,24 @@ def quant_interceptor(scales: Dict[str, float],
                 y = y + mod.variables["params"]["bias"].astype(y.dtype)
             return y
         # UpBlock: quantize BEFORE the nearest-up2 (commutes; the broadcast
-        # then moves int8), conv in int8, BN(eval)+GLU epilogue as usual.
+        # then moves int8), conv in int8, BN(eval)+GLU epilogue.
         #
-        # Negative result (docs/PERF.md int8 section): splitting the conv
-        # into its GLU value/gate halves so the sigmoid-multiply could ride
-        # the conv epilogues benches SLOWER (3634 vs 3812 img/s at 768x64)
-        # -- the duplicate int8 input read costs more than the avoided
-        # GLU-pass materialization saves. Kept single-conv.
+        # Round-2 negative (docs/PERF.md int8 section): splitting EVERY
+        # UpBlock conv into its GLU value/gate halves benches slower e2e
+        # (3808 vs 3911 img/s round 3; 3634 vs 3812 for the round-2
+        # epilogue-riding variant) -- GLU outputs read by bf16 heads were
+        # free conv-input fusions. Keys in `split_glu` opt into the split
+        # (numerically exact: weight quantization and the conv are both
+        # output-channel-separable) for call sites whose consumer is an
+        # int8 conv, where the standalone GLU+requantize pass runs 2.6x
+        # faster on two separate buffers (examples/glu_pass_probe.py).
         x = args[0]
         train = kwargs.get("train", args[1] if len(args) > 1 else False)
         if train:
             return next_fun(*args, **kwargs)
         xq, x_step = quantize_act(x, scales[key])
         wq, w_step = quantize_kernel(mod.variables["params"]["conv"]["kernel"])
-        y = jax.lax.conv_general_dilated(
-            upsample_nearest2x(xq), wq, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        y = (y.astype(jnp.float32) * (x_step * w_step)).astype(x.dtype)
+        up = upsample_nearest2x(xq)
         if mod.use_bn:
             p = mod.variables["params"]["bn"]
             s = mod.variables["batch_stats"]["bn"]
@@ -167,8 +189,24 @@ def quant_interceptor(scales: Dict[str, float],
                 s["var"].astype(jnp.float32) + 1e-5)
             add = p["bias"].astype(jnp.float32) - \
                 s["mean"].astype(jnp.float32) * mul
-            y = (y.astype(jnp.float32) * mul + add).astype(x.dtype)
-        return glu(y)
+
+        def seg(lo, hi):
+            y = jax.lax.conv_general_dilated(
+                up, wq[..., lo:hi], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (x_step * w_step[lo:hi])
+            if mod.use_bn:
+                y = y * mul[lo:hi] + add[lo:hi]
+            return y.astype(x.dtype)
+
+        n_out = wq.shape[-1]
+        if split_glu and key in split_glu:
+            c = n_out // 2
+            v, g = seg(0, c), seg(c, n_out)
+            return v * jax.nn.sigmoid(g)
+        return glu(seg(0, n_out))
 
     return interceptor
 
