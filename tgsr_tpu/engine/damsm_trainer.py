@@ -66,6 +66,7 @@ class DAMSMTrainer:
         self._tx_cache: Dict[float, optax.GradientTransformation] = {}
         self.train_step = self._build_train_step()
         self.eval_step = self._build_eval_step()
+        self.embed_step = self._build_embed_step()
 
     def epoch_lr(self, epoch: int) -> float:
         """lr *= 0.98 per epoch with floor lr/10 (pretrain_DAMSM.py:283-284)."""
@@ -188,6 +189,23 @@ class DAMSMTrainer:
             return metrics, attn
 
         return jax.jit(eval_fn)
+
+    def _build_embed_step(self):
+        def embed_fn(state: DAMSMState, batch):
+            """Eval-mode DAMSM embeddings of a batch: (region features
+            [N,R,E], image codes [N,E], word embs [N,T,E], sent embs
+            [N,E]) — the inputs of engine.evaluator.rank_r_precision and
+            of any retrieval consumer (TextSRGTDataset use-case,
+            datasets.py:1721-1885)."""
+            params = {"text": state.text_params, "cnn": state.cnn_params}
+            feat, code, _ = self._apply_cnn(
+                params["cnn"], state.cnn_stats, batch["imgs"], train=False)
+            words, sent = self.text_encoder.apply(
+                {"params": params["text"]}, batch["captions"],
+                batch["cap_lens"], train=False)
+            return feat, code, words, sent
+
+        return jax.jit(embed_fn)
 
     def reset_optimizer(self, state: DAMSMState) -> DAMSMState:
         """= the reference's per-epoch optimizer reconstruction
