@@ -1,0 +1,190 @@
+"""Request-level micro-batching server for SR serving.
+
+The reference's serving surface is a Python loop over single images
+(gen_exampleSRHL, trainer_objective.py:55-165): one image per forward, no
+concurrency. A production front-end must instead coalesce concurrent
+requests into MXU-filling batches while bounding tail latency.
+BatchingServer is that front-end around SRPipeline:
+
+    server = BatchingServer(pipe, max_batch=64, max_delay_ms=5)
+    fut = server.submit(lr, caption, cap_len)   # thread-safe, any thread
+    sr = fut.result()                           # uint8 [H, W, 3]
+
+Design notes (TPU-first):
+  * planned shapes: a batch is padded up to the next planned size (powers
+    of two by default) so XLA compiles a handful of programs, not one per
+    request count — the same philosophy as sr_batched's (m, b) plan
+    (engine/inference.py:307)
+  * one collector thread owns the device: requests never race a dispatch,
+    and device order == completion order (no reordering layer needed)
+  * max_delay_ms bounds how long the FIRST request of a batch waits for
+    co-riders; under load batches fill to max_batch and the timer never
+    fires, so throughput converges to the batched-pipeline rate
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class BatchingServer:
+    def __init__(self, pipeline, max_batch: int = 64,
+                 max_delay_ms: float = 5.0,
+                 planned_sizes: Optional[Sequence[int]] = None):
+        """`pipeline`: an SRPipeline (its jitted forward caches one
+        compiled program per planned batch size). `planned_sizes` defaults
+        to the powers of two up to max_batch."""
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.pipeline = pipeline
+        self.max_batch = int(max_batch)
+        self.max_delay = float(max_delay_ms) / 1e3
+        if planned_sizes is None:
+            planned_sizes = []
+            b = 1
+            while b < self.max_batch:
+                planned_sizes.append(b)
+                b *= 2
+            planned_sizes.append(self.max_batch)
+        self.planned_sizes = sorted(set(int(b) for b in planned_sizes))
+        if self.planned_sizes[-1] != self.max_batch:
+            raise ValueError("planned_sizes must include max_batch")
+        self._T = pipeline.cfg.TEXT.WORDS_NUM
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()
+        self.stats: Dict[str, object] = {
+            "requests": 0, "batches": 0, "batch_hist": {},
+            "latency_ms": [],  # bounded, most recent first 4096
+        }
+        self._thread = threading.Thread(target=self._collector, daemon=True,
+                                        name="tgsr-batching-server")
+        self._thread.start()
+
+    # ---- client API -----------------------------------------------------
+
+    def submit(self, lr: np.ndarray, caption: np.ndarray,
+               cap_len: int) -> Future:
+        """Enqueue one request. lr [h, w, 3] float32 in [-1, 1]; caption
+        [T] int32 (0-padded); cap_len its true length. Returns a Future
+        resolving to the SR image as uint8 [H, W, 3]."""
+        fut: Future = Future()
+        lr = np.asarray(lr, np.float32)
+        caption = np.asarray(caption, np.int32)
+        if lr.ndim != 3 or lr.shape[-1] != 3:
+            fut.set_exception(ValueError(f"lr must be [h,w,3], {lr.shape}"))
+            return fut
+        if caption.shape != (self._T,):
+            fut.set_exception(ValueError(
+                f"caption must be [{self._T}], got {caption.shape}"))
+            return fut
+        with self._lock:
+            if self._closed:
+                fut.set_exception(RuntimeError("server closed"))
+                return fut
+        self._queue.put((lr, caption, int(cap_len), time.perf_counter(),
+                         fut))
+        return fut
+
+    def warmup(self, lr_shape=(32, 32, 3)) -> None:
+        """Compile every planned batch size up front (first-request latency
+        otherwise pays the compile)."""
+        for b in self.planned_sizes:
+            lr = np.zeros((b,) + tuple(lr_shape), np.float32)
+            caps = np.ones((b, self._T), np.int32)
+            lens = np.full((b,), 2, np.int32)
+            self.pipeline.sr_uint8(lr, caps, lens)
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Drain the queue and stop the collector."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._queue.put(None)  # wake the collector
+        self._thread.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- collector ------------------------------------------------------
+
+    def _plan(self, n: int) -> int:
+        for b in self.planned_sizes:
+            if b >= n:
+                return b
+        return self.max_batch
+
+    def _collector(self) -> None:
+        while True:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                with self._lock:
+                    if self._closed and self._queue.empty():
+                        return
+                continue
+            if first is None:
+                # shutdown wake: keep draining whatever is still queued
+                with self._lock:
+                    if self._closed and self._queue.empty():
+                        return
+                continue
+            batch: List[tuple] = [first]
+            deadline = time.perf_counter() + self.max_delay
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List[tuple]) -> None:
+        n = len(batch)
+        b = self._plan(n)
+        lrs = np.stack([r[0] for r in batch] + [batch[-1][0]] * (b - n))
+        caps = np.stack([r[1] for r in batch] + [batch[-1][1]] * (b - n))
+        lens = np.asarray([r[2] for r in batch] + [batch[-1][2]] * (b - n),
+                          np.int32)
+        try:
+            out = self.pipeline.sr_uint8(lrs, caps, lens)
+        except Exception as e:  # propagate to every rider of this batch
+            for r in batch:
+                if not r[4].done():
+                    r[4].set_exception(e)
+            return
+        now = time.perf_counter()
+        st = self.stats
+        st["requests"] += n
+        st["batches"] += 1
+        st["batch_hist"][b] = st["batch_hist"].get(b, 0) + 1
+        lat = st["latency_ms"]
+        for i, r in enumerate(batch):
+            lat.append((now - r[3]) * 1e3)
+            r[4].set_result(out[i])
+        del lat[:-4096]
+
+    # ---- monitoring -----------------------------------------------------
+
+    def latency_percentiles(self) -> Dict[str, float]:
+        lat = self.stats["latency_ms"]
+        if not lat:
+            return {}
+        a = np.asarray(lat)
+        return {"p50_ms": float(np.percentile(a, 50)),
+                "p99_ms": float(np.percentile(a, 99))}
