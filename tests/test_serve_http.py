@@ -1,0 +1,104 @@
+"""HTTP serving CLI (cli/serve.py): concurrent POSTs batch through
+BatchingServer and return PNGs matching the direct pipeline path."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tgsr_tpu.cli.serve import encode_caption_text, make_server
+from tgsr_tpu.data.tokenizer import Vocab
+
+from tests.test_serving import small_pipe  # noqa: F401  (fixture reuse)
+
+
+@pytest.fixture
+def http_srv(small_pipe):  # noqa: F811
+    words = ["<end>", "a", "big", "nose", "smiling"]
+    vocab = Vocab(dict(enumerate(words)), {w: i for i, w in enumerate(words)})
+    httpd = make_server(small_pipe, vocab, port=0, max_batch=4,
+                        max_delay_ms=10, lr_size=16)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd, vocab
+    httpd.shutdown()
+    httpd.batcher.close()
+    t.join(timeout=10)
+
+
+def _post_sr(port, img_bytes, caption):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sr", data=img_bytes,
+        headers={"X-Caption": caption}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, r.read()
+
+
+def test_http_sr_roundtrip_matches_direct(http_srv):
+    httpd, vocab = http_srv
+    port = httpd.server_address[1]
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+
+    caption = "a big nose"
+    results = {}
+
+    def worker(i):
+        results[i] = _post_sr(port, buf.getvalue(), caption)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # direct path with the same preprocessing
+    lr = np.asarray(img.resize((16, 16), Image.BICUBIC),
+                    np.float32) / 127.5 - 1.0
+    cap, length = encode_caption_text(caption, vocab, 18)
+    direct = httpd.batcher.pipeline.sr_uint8(
+        lr[None], cap[None], np.asarray([length], np.int32))[0]
+
+    for i in range(5):
+        status, body = results[i]
+        assert status == 200
+        out = np.asarray(Image.open(io.BytesIO(body)))
+        assert out.shape == (128, 128, 3)
+        np.testing.assert_array_equal(out, direct)
+
+    # healthz reflects the served requests
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["requests"] == 5
+    assert h["p50_ms"] > 0
+
+
+def test_http_bad_requests(http_srv):
+    httpd, _ = http_srv
+    port = httpd.server_address[1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sr", data=b"not an image",
+        headers={"X-Caption": "a"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
+    assert e.value.code == 404
+
+
+def test_encode_caption_text():
+    words = ["<end>", "a", "big", "nose"]
+    vocab = Vocab(dict(enumerate(words)), {w: i for i, w in enumerate(words)})
+    cap, n = encode_caption_text("A big UNKNOWN nose", vocab, 6)
+    # tokenizer lowercases; unknown words drop (datasets.py:355-367)
+    assert cap.tolist() == [1, 2, 3, 0, 0, 0] and n == 3
+    cap, n = encode_caption_text("", vocab, 6)
+    assert n == 1 and cap.tolist() == [0] * 6

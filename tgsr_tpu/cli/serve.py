@@ -1,0 +1,175 @@
+"""HTTP serving entry point: text-guided SR as a network service.
+
+The reference has no serving story at all (its eval driver writes PNGs to
+disk, trainer_objective.py:55-165). This CLI turns the framework into a
+deployable service: an HTTP front door feeding engine.serving's
+BatchingServer, so concurrent clients are coalesced into MXU-filling
+batches on the device.
+
+  python -m tgsr_tpu.cli.serve --cfg cfg/eval_faceSR_attn2.yml \
+      --netg <Checkpoint/face_S8/netG_epoch_7.pth> \
+      --vocab_pickle <data/face/testset.pickle> [--port 8718] [--int8]
+
+Protocol (deliberately dependency-free — stdlib http.server + PIL):
+  POST /sr     body = any image (PNG/JPEG); it is bicubic-resized to the
+               model's LR size. Caption via the `X-Caption` header (or
+               `?caption=`). Response: image/png, the SR result.
+  GET /healthz JSON: server stats + latency percentiles.
+
+The HTTP layer is ThreadingHTTPServer: each request thread blocks on its
+Future while the collector thread owns the device — the batching
+behavior under concurrency is exactly tests/test_serving.py's.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def encode_caption_text(text: str, vocab, words_num: int):
+    """Caption string -> ([T] int32 ids, length) with the training-side
+    tokenizer (RegexpTokenizer semantics, datasets.py:355-360)."""
+    from tgsr_tpu.data.tokenizer import tokenize_caption
+
+    ids = vocab.encode_tokens(tokenize_caption(text))
+    cap = np.zeros((words_num,), np.int32)
+    n = min(len(ids), words_num)
+    cap[:n] = ids[:n]
+    return cap, max(n, 1)
+
+
+def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
+                max_batch: int = 32, max_delay_ms: float = 5.0,
+                lr_size: Optional[int] = None) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server around a BatchingServer. Returns
+    the ThreadingHTTPServer; call .serve_forever() (blocking) or drive it
+    from a thread (tests). server.batcher is the BatchingServer."""
+    from PIL import Image
+
+    from tgsr_tpu.engine.serving import BatchingServer
+
+    T = pipeline.cfg.TEXT.WORDS_NUM
+    size = lr_size or pipeline.cfg.TREE.BASE_SIZE
+    batcher = BatchingServer(pipeline, max_batch=max_batch,
+                             max_delay_ms=max_delay_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            st = batcher.stats
+            self._json(200, {
+                "status": "ok",
+                "requests": st["requests"],
+                "batches": st["batches"],
+                "batch_hist": {str(k): v
+                               for k, v in st["batch_hist"].items()},
+                **batcher.latency_percentiles(),
+            })
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/sr":
+                return self._json(404, {"error": "unknown path"})
+            caption = self.headers.get("X-Caption", "")
+            if not caption:
+                q = parse_qs(url.query).get("caption", [])
+                caption = q[0] if q else ""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                img = Image.open(io.BytesIO(self.rfile.read(n))).convert(
+                    "RGB")
+            except Exception as e:
+                return self._json(400, {"error": f"bad image: {e}"})
+            lr = np.asarray(img.resize((size, size), Image.BICUBIC),
+                            np.float32) / 127.5 - 1.0
+            cap, length = encode_caption_text(caption, vocab, T)
+            try:
+                sr = batcher.submit(lr, cap, length).result(timeout=600)
+            except Exception as e:
+                return self._json(500, {"error": str(e)})
+            buf = io.BytesIO()
+            Image.fromarray(sr).save(buf, format="PNG")
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.batcher = batcher  # exposed for tests / shutdown
+    return httpd
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TGSR-TPU SR service")
+    parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--netg", required=True,
+                        help="reference netG_epoch_*.pth (netGH resolved "
+                             "alongside)")
+    parser.add_argument("--vocab_pickle", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8718)
+    parser.add_argument("--max_batch", type=int, default=32)
+    parser.add_argument("--max_delay_ms", type=float, default=5.0)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 serving with the shipped face_S8 scales")
+    parser.add_argument("--f32", action="store_true",
+                        help="full f32 (default bf16)")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from tgsr_tpu.cli.eval_rank import load_vocab
+    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.engine.inference import SRPipeline
+
+    cfg = config_from_file(args.cfg_file)
+    vocab = load_vocab(args.vocab_pickle)
+    quant = None
+    if args.int8:
+        from tgsr_tpu.engine.quant import face_s8_scales
+
+        quant = face_s8_scales()
+    pipe = SRPipeline.from_reference_checkpoints(
+        cfg, vocab.n_words, args.netg,
+        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        quant_scales=quant)
+    httpd = make_server(pipe, vocab, host=args.host, port=args.port,
+                        max_batch=args.max_batch,
+                        max_delay_ms=args.max_delay_ms)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"(max_batch {args.max_batch}, delay {args.max_delay_ms} ms, "
+          f"{'int8' if args.int8 else 'f32' if args.f32 else 'bf16'})",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        httpd.batcher.close()
+
+
+if __name__ == "__main__":
+    main()
