@@ -74,7 +74,9 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from tgsr_tpu.config import Config
+    from tgsr_tpu.config import Config, enable_compile_cache
+
+    enable_compile_cache()
     from tgsr_tpu.data.datasets import TextSRGTDataset
     from tgsr_tpu.engine.evaluator import rank_r_precision
     from tgsr_tpu.models.image_encoder import CNNEncoder, SimpleCNNEncoder

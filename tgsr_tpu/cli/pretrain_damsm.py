@@ -39,6 +39,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from tgsr_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+
     from tgsr_tpu.checkpoints.io import save_variables
     from tgsr_tpu.config import config_from_file
     from tgsr_tpu.data.datasets import TextDataset, TextFaceDataset

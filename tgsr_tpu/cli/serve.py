@@ -141,7 +141,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tgsr_tpu.cli.eval_rank import load_vocab
-    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.config import config_from_file, enable_compile_cache
+
+    enable_compile_cache()
     from tgsr_tpu.engine.inference import SRPipeline
 
     cfg = config_from_file(args.cfg_file)

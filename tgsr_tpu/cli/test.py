@@ -107,7 +107,9 @@ def main(argv=None):
     import jax.numpy as jnp
     from PIL import Image
 
-    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.config import config_from_file, enable_compile_cache
+
+    enable_compile_cache()
     from tgsr_tpu.data.datasets import TextExampleSRDataset
     from tgsr_tpu.data.pipeline import BatchLoader
     from tgsr_tpu.engine.inference import SRPipeline

@@ -72,7 +72,10 @@ def main(argv=None):
     from tgsr_tpu.checkpoints.io import load_variables, save_variables
     from tgsr_tpu.config import config_from_file
     from tgsr_tpu.data.datasets import TextFaceDataset, TextSRDataset
+    from tgsr_tpu.config import enable_compile_cache
     from tgsr_tpu.data.pipeline import BatchLoader, device_preprocess
+
+    enable_compile_cache()
     from tgsr_tpu.engine.gan_trainer import GANTrainer
     from tgsr_tpu.models.text_encoder import TextEncoder
 
@@ -193,9 +196,11 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                   save_train_state, device_preprocess, jnp):
     import os
 
+    from tgsr_tpu.data.pipeline import device_prefetch
+
     _LAST_STATE[0] = state
     for epoch in range(epochs):
-        for batch in loader.epoch(epoch):
+        for batch in device_prefetch(loader.epoch(epoch), depth=2):
             pre = device_preprocess(jnp.asarray(batch["hr"]),
                                     cfg.TREE.BRANCH_NUM, cfg.TREE.BASE_SIZE,
                                     with_blur=False)

@@ -172,3 +172,23 @@ def config_from_file(path: str, base: Config | None = None) -> Config:
 
 def config_to_dict(cfg: Config) -> Dict[str, Any]:
     return dataclasses.asdict(cfg)
+
+
+def enable_compile_cache(path: str = "") -> bool:
+    """Opt into JAX's persistent compilation cache (first jit of the big
+    fused programs costs 20-40 s on TPU; subsequent processes reuse the
+    cache). Call before the first jit, or set TGSR_COMPILE_CACHE=<dir>
+    and the CLIs call this at startup. Returns True if enabled."""
+    import os
+
+    path = path or os.environ.get("TGSR_COMPILE_CACHE", "")
+    if not path:
+        return False
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False

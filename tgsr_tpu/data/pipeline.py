@@ -134,3 +134,41 @@ class BatchLoader:
         finally:
             # generator closed/abandoned: release the worker
             stop.set()
+
+
+def device_prefetch(batches: Iterator[Dict[str, Any]], depth: int = 2,
+                    sharding=None) -> Iterator[Dict[str, Any]]:
+    """Overlap host->device transfer with device compute: device_put each
+    numpy batch `depth` steps ahead of consumption, so step N's compute
+    hides step N+1..N+depth's H2D copies (the role torch's
+    pin_memory+non_blocking prefetch plays; the reference has neither —
+    its DataLoader hands CPU tensors to `.cuda()` inside prepare_data,
+    datasets.py:33-68, serializing transfer behind the step).
+
+    `sharding`: optional jax sharding (e.g. parallel.mesh.data_sharding)
+    applied to every array — DP trainers pass their batch sharding so the
+    prefetch lands shards directly on each device.
+
+    Python-level lists/scalars pass through untouched (e.g. the "keys"
+    field of prepare_batch)."""
+    from collections import deque
+
+    def put(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding)
+            if isinstance(x, (np.ndarray, jax.Array)) else x, tree)
+
+    buf: deque = deque()
+    it = iter(batches)
+    try:
+        while True:
+            while len(buf) < depth:
+                try:
+                    buf.append(put(next(it)))
+                except StopIteration:
+                    while buf:
+                        yield buf.popleft()
+                    return
+            yield buf.popleft()
+    finally:
+        buf.clear()
