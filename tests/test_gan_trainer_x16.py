@@ -93,3 +93,57 @@ def test_x16_remat_matches_baseline():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         s0.g_params, s1.g_params)
+
+
+def test_x16_dp_sharded_step_matches_single_device():
+    """DP equivalence for the x16 family (the x8 version lives in
+    test_gan_trainer_sharding.py): the mesh-sharded BRANCH_NUM=5 fused
+    step must reproduce the single-device metrics — placement, not math."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert len(jax.devices()) >= 8
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=5, BASE_SIZE=4),
+        GAN=dataclasses.replace(cfg.GAN, GF_DIM=8, DF_DIM=8),
+        TRAIN=dataclasses.replace(cfg.TRAIN, BATCH_SIZE=8),
+    )
+    B, T, vocab = 8, cfg.TEXT.WORDS_NUM, 17
+    k = jax.random.PRNGKey(0)
+    caps = jnp.ones((B, T), jnp.int32).at[:, 6:].set(0)
+    lens = jnp.full((B,), 6, jnp.int32)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    text_vars = enc.init(k, caps, lens)
+    rngs = jax.random.split(jax.random.PRNGKey(3), 6)
+    batch = {
+        "lr": jax.random.normal(rngs[0], (B, 4, 4, 3)) * 0.3,
+        "real_pyramid": [
+            jax.random.normal(kk, (B, s, s, 3)) * 0.3
+            for kk, s in zip(rngs[1:], cfg.pyramid_sizes())
+        ],
+        "captions": caps,
+        "cap_lens": lens,
+        "class_ids": jnp.arange(B, dtype=jnp.int32),
+    }
+    step_rng = jax.random.PRNGKey(2)
+
+    ref = GANTrainer(cfg, vocab, text_vars)
+    ref_state = ref.init_state(k, batch_size=B)
+    _, ref_metrics, _ = ref.train_step(ref_state, batch, step_rng)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ("data", "model"))
+    sh = GANTrainer(cfg, vocab, text_vars, mesh=mesh)
+    sh_state = jax.device_put(sh.init_state(k, batch_size=B),
+                              NamedSharding(mesh, P()))
+    sh_batch = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+        batch)
+    _, sh_metrics, _ = sh.train_step(sh_state, sh_batch, step_rng)
+
+    for name in ref_metrics:
+        np.testing.assert_allclose(
+            float(sh_metrics[name]), float(ref_metrics[name]),
+            rtol=2e-4, atol=2e-5, err_msg=name)
