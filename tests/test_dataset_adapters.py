@@ -176,3 +176,24 @@ def test_example_sr_meaningless_control(tmp_path):
     ds_real = TextExampleSRDataset(str(d), str(d / "caps.pickle"), imsize=64)
     ex_r = ds_real.__getitem__(0, sent_ix=0)
     assert list(ex_r.tokens[: ex_r.length]) == [3, 4, 5]
+
+
+def test_srgt_small_image_center_pad(tmp_path):
+    """Images below imsize are zero-padded centered (= torchvision
+    CenterCrop semantics, the reference's transform at datasets.py:1726) —
+    the batching consumer (cli.eval_rank) relies on uniform shapes."""
+    vocab = Vocab({0: "<end>", 1: "a"}, {"<end>": 0, "a": 1})
+    d, imd = tmp_path / "gt", tmp_path / "ims"
+    d.mkdir(), imd.mkdir()
+    small = np.full((40, 60, 3), 200, np.uint8)
+    Image.fromarray(small).save(str(imd / "s.png"))
+    with open(d / "t.txt", "w") as f:
+        f.write("s.png|a\n")
+    ds = TextSRGTDataset(vocab, str(d), str(imd), txt="t.txt",
+                         dataset="bird", imsize=64)
+    hr = ds.__getitem__(0, sent_ix=0).hr
+    assert hr.shape == (64, 64, 3)
+    # content centered, border zero
+    assert (hr[12:52, 2:62] == 200).all()
+    assert (hr[:12] == 0).all() and (hr[52:] == 0).all()
+    assert (hr[:, :2] == 0).all() and (hr[:, 62:] == 0).all()

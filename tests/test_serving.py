@@ -112,3 +112,32 @@ def test_planned_sizes_validation(small_pipe):
         BatchingServer(small_pipe, max_batch=8, planned_sizes=[2, 4])
     with pytest.raises(ValueError):
         BatchingServer(small_pipe, max_batch=0)
+
+
+def test_serving_shape_pinning_keeps_collector_alive(small_pipe):
+    """A mismatched-lr request must be rejected at submit (the batch
+    np.stack would otherwise kill the collector thread and strand every
+    later request — round-3 review finding)."""
+    lrs, caps, lens = _requests(4)
+    with BatchingServer(small_pipe, max_batch=4, max_delay_ms=5) as srv:
+        ok0 = srv.submit(lrs[0], caps[0], lens[0])
+        bad = srv.submit(np.zeros((32, 32, 3), np.float32), caps[1], lens[1])
+        with pytest.raises(ValueError):
+            bad.result(timeout=5)
+        # the collector survived: later same-shape requests still serve
+        ok1 = srv.submit(lrs[1], caps[1], lens[1])
+        assert ok0.result(timeout=120).shape == (128, 128, 3)
+        assert ok1.result(timeout=120).shape == (128, 128, 3)
+
+
+def test_serving_cancelled_future_does_not_kill_batch(small_pipe):
+    lrs, caps, lens = _requests(3, seed=3)
+    with BatchingServer(small_pipe, max_batch=4, max_delay_ms=50) as srv:
+        f0 = srv.submit(lrs[0], caps[0], lens[0])
+        f1 = srv.submit(lrs[1], caps[1], lens[1])
+        f1.cancel()  # a bare Future cancels while pending
+        f2 = srv.submit(lrs[2], caps[2], lens[2])
+        assert f0.result(timeout=120).shape == (128, 128, 3)
+        assert f2.result(timeout=120).shape == (128, 128, 3)
+    snap = srv.stats_snapshot()
+    assert snap["requests"] == 3 and snap["batches"] >= 1

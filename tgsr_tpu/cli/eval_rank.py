@@ -152,8 +152,10 @@ def main(argv=None):
         # pad the tail to the jitted batch shape, drop after
         pad = [idx[-1]] * (B - len(idx))
         ex = [ds[i] for i in idx + pad]
-        imgs = jnp.asarray(np.stack([e.hr for e in ex]),
-                           jnp.float32) / 127.5 - 1.0
+        # normalize on HOST numpy: an eager jnp divide on the axon TPU
+        # would pay a remote-compile round trip (CLAUDE.md)
+        imgs = jnp.asarray(
+            np.stack([e.hr for e in ex]).astype(np.float32) / 127.5 - 1.0)
         caps = jnp.asarray(np.stack([e.tokens for e in ex]))
         lens = jnp.asarray(np.asarray([e.length for e in ex], np.int32))
         feat, code, words, sent = embed(imgs, caps, lens)
@@ -164,11 +166,12 @@ def main(argv=None):
         sents.append(np.asarray(sent[:k]))
         lens_l.append(np.asarray(lens[:k]))
 
-    feat = jnp.asarray(np.concatenate(feats))
-    code = jnp.asarray(np.concatenate(codes))
-    words = jnp.asarray(np.concatenate(words_l))
-    sent = jnp.asarray(np.concatenate(sents))
-    lens = jnp.asarray(np.concatenate(lens_l))
+    # host concatenation; rank_r_precision's jitted core takes numpy
+    feat = np.concatenate(feats)
+    code = np.concatenate(codes)
+    words = np.concatenate(words_l)
+    sent = np.concatenate(sents)
+    lens = np.concatenate(lens_l)
 
     gammas = (cfg.TRAIN.SMOOTH.GAMMA1, cfg.TRAIN.SMOOTH.GAMMA2,
               cfg.TRAIN.SMOOTH.GAMMA3)

@@ -36,14 +36,14 @@ import numpy as np
 
 def encode_caption_text(text: str, vocab, words_num: int):
     """Caption string -> ([T] int32 ids, length) with the training-side
-    tokenizer (RegexpTokenizer semantics, datasets.py:355-360)."""
-    from tgsr_tpu.data.tokenizer import tokenize_caption
+    tokenizer + encoder (RegexpTokenizer semantics datasets.py:355-360;
+    encode_caption keeps the reference's long-caption random sorted
+    subsample, datasets.py:459-477)."""
+    from tgsr_tpu.data.tokenizer import encode_caption, tokenize_caption
 
     ids = vocab.encode_tokens(tokenize_caption(text))
-    cap = np.zeros((words_num,), np.int32)
-    n = min(len(ids), words_num)
-    cap[:n] = ids[:n]
-    return cap, max(n, 1)
+    cap, n = encode_caption(ids, words_num)
+    return cap.astype(np.int32), n
 
 
 def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
@@ -59,7 +59,8 @@ def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
     T = pipeline.cfg.TEXT.WORDS_NUM
     size = lr_size or pipeline.cfg.TREE.BASE_SIZE
     batcher = BatchingServer(pipeline, max_batch=max_batch,
-                             max_delay_ms=max_delay_ms)
+                             max_delay_ms=max_delay_ms,
+                             lr_shape=(size, size, 3))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -76,8 +77,8 @@ def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
         def do_GET(self):
             if urlparse(self.path).path != "/healthz":
                 return self._json(404, {"error": "unknown path"})
-            st = batcher.stats
-            self._json(200, {
+            st = batcher.stats_snapshot()  # locked copy: the collector
+            self._json(200, {               # mutates concurrently
                 "status": "ok",
                 "requests": st["requests"],
                 "batches": st["batches"],
@@ -160,6 +161,8 @@ def main(argv=None):
     httpd = make_server(pipe, vocab, host=args.host, port=args.port,
                         max_batch=args.max_batch,
                         max_delay_ms=args.max_delay_ms)
+    print("warming up (compiling every planned batch size)...", flush=True)
+    httpd.batcher.warmup()
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(max_batch {args.max_batch}, delay {args.max_delay_ms} ms, "
           f"{'int8' if args.int8 else 'f32' if args.f32 else 'bf16'})",

@@ -573,8 +573,18 @@ class TextSRGTDataset(_CaptionDatasetBase):
     def _image(self, index):
         img = _load_image_rgb(os.path.join(self.image_dir,
                                            self.filenames[index]))
-        # = transforms.CenterCrop(imsize) with no resize (datasets.py:1726)
+        # = transforms.CenterCrop(imsize) with no resize (datasets.py:1726).
+        # torchvision CenterCrop zero-PADS dimensions smaller than imsize
+        # (crop of a padded canvas), so results below imsize batch cleanly
+        # instead of crashing the first stacking consumer (cli.eval_rank).
         h, w = img.shape[:2]
+        if h < self.imsize or w < self.imsize:
+            canvas = np.zeros((max(h, self.imsize), max(w, self.imsize), 3),
+                              img.dtype)
+            top, left = (canvas.shape[0] - h) // 2, (canvas.shape[1] - w) // 2
+            canvas[top:top + h, left:left + w] = img
+            img = canvas
+            h, w = img.shape[:2]
         top = max(0, (h - self.imsize) // 2)
         left = max(0, (w - self.imsize) // 2)
         return img[top:top + self.imsize, left:left + self.imsize]

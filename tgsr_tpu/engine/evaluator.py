@@ -25,6 +25,20 @@ from tgsr_tpu.ops.image import (
 )
 
 
+@jax.jit
+def _rank_sims(image_features, cnn_codes, words_embs, sent_embs, cap_lens,
+               g1, g2, g3):
+    """One jitted program for the similarity matrices: eager jnp ops on
+    the axon TPU pay a remote-compile round trip EACH (CLAUDE.md), so the
+    device math must not run op-by-op. gammas are traced operands — no
+    recompile when they change."""
+    from tgsr_tpu.losses.damsm import sent_similarity, words_similarity
+
+    w_sim = words_similarity(image_features, words_embs, cap_lens, g1, g2)
+    s_sim = sent_similarity(cnn_codes, sent_embs, g3)
+    return w_sim, s_sim
+
+
 def rank_r_precision(
     image_features: jax.Array,  # [N, R, E] DAMSM region features
     cnn_codes: jax.Array,  # [N, E] global image codes
@@ -38,17 +52,17 @@ def rank_r_precision(
     TextSRGTDataset use-case, datasets.py:1721-1885): for each image, rank
     all captions by the word- and sentence-level DAMSM similarity; R@k =
     fraction whose own caption ranks in the top k."""
-    from tgsr_tpu.losses.damsm import sent_similarity, words_similarity
-
-    w_sim = words_similarity(image_features, words_embs, cap_lens,
-                             gammas[0], gammas[1])  # [img, caption]
-    s_sim = sent_similarity(cnn_codes, sent_embs, gammas[2])
+    w_sim, s_sim = jax.tree.map(
+        np.asarray, _rank_sims(image_features, cnn_codes, words_embs,
+                               sent_embs, cap_lens,
+                               jnp.float32(gammas[0]), jnp.float32(gammas[1]),
+                               jnp.float32(gammas[2])))
     n = w_sim.shape[0]
 
-    def r_at_k(sim):
-        order = jnp.argsort(-sim, axis=1)[:, :top_k]
-        hit = (order == jnp.arange(n)[:, None]).any(axis=1)
-        return float(jnp.mean(hit.astype(jnp.float32)))
+    def r_at_k(sim):  # [img, caption] numpy: ranking is host work
+        order = np.argsort(-sim, axis=1)[:, :top_k]
+        hit = (order == np.arange(n)[:, None]).any(axis=1)
+        return float(np.mean(hit.astype(np.float32)))
 
     return {
         f"word_r@{top_k}": r_at_k(w_sim),

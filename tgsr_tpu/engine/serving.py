@@ -36,10 +36,13 @@ import numpy as np
 class BatchingServer:
     def __init__(self, pipeline, max_batch: int = 64,
                  max_delay_ms: float = 5.0,
-                 planned_sizes: Optional[Sequence[int]] = None):
+                 planned_sizes: Optional[Sequence[int]] = None,
+                 lr_shape: Optional[Sequence[int]] = None):
         """`pipeline`: an SRPipeline (its jitted forward caches one
         compiled program per planned batch size). `planned_sizes` defaults
-        to the powers of two up to max_batch."""
+        to the powers of two up to max_batch. `lr_shape`: expected [h, w, 3]
+        of every request; defaults to the first request's shape (one batch
+        MUST be stackable — mismatched requests are rejected at submit)."""
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.pipeline = pipeline
@@ -56,9 +59,13 @@ class BatchingServer:
         if self.planned_sizes[-1] != self.max_batch:
             raise ValueError("planned_sizes must include max_batch")
         self._T = pipeline.cfg.TEXT.WORDS_NUM
+        self._lr_shape = tuple(lr_shape) if lr_shape else None
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
+        # guards stats against concurrent readers (healthz polls) while the
+        # collector mutates
+        self._stats_lock = threading.Lock()
         self.stats: Dict[str, object] = {
             "requests": 0, "batches": 0, "batch_hist": {},
             "latency_ms": [],  # bounded, most recent first 4096
@@ -84,19 +91,38 @@ class BatchingServer:
             fut.set_exception(ValueError(
                 f"caption must be [{self._T}], got {caption.shape}"))
             return fut
+        # the enqueue must be atomic with the closed check AND the shape
+        # pinning: a put after close() would strand the future (the
+        # collector has already drained), and a mismatched lr shape would
+        # kill the whole batch at np.stack time
         with self._lock:
             if self._closed:
                 fut.set_exception(RuntimeError("server closed"))
                 return fut
-        self._queue.put((lr, caption, int(cap_len), time.perf_counter(),
-                         fut))
+            if self._lr_shape is None:
+                self._lr_shape = lr.shape  # pinned by the first request
+            if lr.shape != self._lr_shape:
+                fut.set_exception(ValueError(
+                    f"lr shape {lr.shape} != server's {self._lr_shape}"))
+                return fut
+            self._queue.put((lr, caption, int(cap_len),
+                             time.perf_counter(), fut))
         return fut
 
-    def warmup(self, lr_shape=(32, 32, 3)) -> None:
+    def warmup(self, lr_shape=None) -> None:
         """Compile every planned batch size up front (first-request latency
-        otherwise pays the compile)."""
+        otherwise pays the compile). Uses (and pins) the server's lr
+        shape; pass lr_shape=[h, w, 3] if neither the ctor nor a prior
+        request established it."""
+        with self._lock:
+            if lr_shape is not None:
+                self._lr_shape = tuple(lr_shape)
+            if self._lr_shape is None:
+                raise ValueError("no lr_shape known: pass warmup(lr_shape=)"
+                                 " or construct with lr_shape=")
+            shape = self._lr_shape
         for b in self.planned_sizes:
-            lr = np.zeros((b,) + tuple(lr_shape), np.float32)
+            lr = np.zeros((b,) + shape, np.float32)
             caps = np.ones((b, self._T), np.int32)
             lens = np.full((b,), 2, np.int32)
             self.pipeline.sr_uint8(lr, caps, lens)
@@ -156,33 +182,47 @@ class BatchingServer:
 
     def _run_batch(self, batch: List[tuple]) -> None:
         n = len(batch)
-        b = self._plan(n)
-        lrs = np.stack([r[0] for r in batch] + [batch[-1][0]] * (b - n))
-        caps = np.stack([r[1] for r in batch] + [batch[-1][1]] * (b - n))
-        lens = np.asarray([r[2] for r in batch] + [batch[-1][2]] * (b - n),
-                          np.int32)
         try:
+            b = self._plan(n)
+            lrs = np.stack([r[0] for r in batch] + [batch[-1][0]] * (b - n))
+            caps = np.stack([r[1] for r in batch] + [batch[-1][1]] * (b - n))
+            lens = np.asarray([r[2] for r in batch]
+                              + [batch[-1][2]] * (b - n), np.int32)
             out = self.pipeline.sr_uint8(lrs, caps, lens)
-        except Exception as e:  # propagate to every rider of this batch
+        except Exception as e:  # propagate to every rider of this batch --
+            # the collector thread must survive any single batch failing
             for r in batch:
                 if not r[4].done():
                     r[4].set_exception(e)
             return
         now = time.perf_counter()
-        st = self.stats
-        st["requests"] += n
-        st["batches"] += 1
-        st["batch_hist"][b] = st["batch_hist"].get(b, 0) + 1
-        lat = st["latency_ms"]
+        with self._stats_lock:
+            st = self.stats
+            st["requests"] += n
+            st["batches"] += 1
+            st["batch_hist"][b] = st["batch_hist"].get(b, 0) + 1
+            lat = st["latency_ms"]
+            lat.extend((now - r[3]) * 1e3 for r in batch)
+            del lat[:-4096]
+        # resolve futures OUTSIDE the stats lock: set_result runs done-
+        # callbacks synchronously, and one of those could read stats
         for i, r in enumerate(batch):
-            lat.append((now - r[3]) * 1e3)
-            r[4].set_result(out[i])
-        del lat[:-4096]
+            if not r[4].done():  # a cancelled future must not kill
+                r[4].set_result(out[i])  # the rest of the batch
 
     # ---- monitoring -----------------------------------------------------
 
+    def stats_snapshot(self) -> Dict[str, object]:
+        """Consistent copy of the counters for concurrent readers (the
+        collector mutates stats under the same lock)."""
+        with self._stats_lock:
+            st = self.stats
+            return {"requests": st["requests"], "batches": st["batches"],
+                    "batch_hist": dict(st["batch_hist"])}
+
     def latency_percentiles(self) -> Dict[str, float]:
-        lat = self.stats["latency_ms"]
+        with self._stats_lock:
+            lat = list(self.stats["latency_ms"])
         if not lat:
             return {}
         a = np.asarray(lat)
