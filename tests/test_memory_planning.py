@@ -1,0 +1,86 @@
+"""Compile-time memory accounting + batch planner (utils/memory.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgsr_tpu.utils.memory import (
+    device_memory_budget,
+    max_feasible_batch,
+    program_memory,
+)
+
+
+def test_program_memory_reports_and_scales():
+    def f(x):
+        return jnp.tanh(x @ x.T).sum()
+
+    small = program_memory(f, jax.ShapeDtypeStruct((64, 64), jnp.float32))
+    big = program_memory(f, jax.ShapeDtypeStruct((512, 64), jnp.float32))
+    assert set(small) == {"temp", "arguments", "output", "generated_code",
+                          "total"}
+    # CPU XLA reports argument/temp bytes; the larger program must not
+    # report LESS argument memory
+    if small["arguments"] is not None and big["arguments"] is not None:
+        assert big["arguments"] >= small["arguments"]
+    # no execution happened: ShapeDtypeStructs were enough (would have
+    # thrown above otherwise)
+
+
+def test_device_memory_budget_cpu():
+    # CPU backends may or may not report a limit; both are valid, the
+    # contract is "None or positive int"
+    b = device_memory_budget()
+    assert b is None or b > 0
+
+
+def test_max_feasible_batch_bisection():
+    # injected measure: 1 MB per batch row, budget 100 MB -> best 100
+    calls = []
+
+    def measure(b):
+        calls.append(b)
+        return b * 2**20
+
+    best, hist = max_feasible_batch(lambda b: (None, ()),
+                                    budget_bytes=100 * 2**20,
+                                    lo=1, hi=4096, measure=measure)
+    assert best == 100
+    assert len(calls) <= 16, "bisection, not a linear scan"
+    assert hist[best] == 100 * 2**20
+
+
+def test_max_feasible_batch_quantum_and_infeasible():
+    def measure(b):
+        return None if b > 96 else b * 2**20
+
+    best, _ = max_feasible_batch(lambda b: (None, ()),
+                                 budget_bytes=10**12, lo=1, hi=4096,
+                                 measure=measure, quantum=64)
+    assert best in (64, 96) and best % 64 == 0 or best == 1
+    assert best == 64  # largest multiple of 64 that "compiles"
+
+    best0, hist0 = max_feasible_batch(lambda b: (None, ()),
+                                      budget_bytes=1, lo=4, hi=64,
+                                      measure=lambda b: 100)
+    assert best0 == 0 and hist0 == {4: 100}
+
+
+def test_max_feasible_batch_real_compiles():
+    """End-to-end with real XLA compiles on CPU: a function whose temp
+    scales with batch, budgeted to cut the range."""
+    def make(b):
+        def f(x):
+            return (x @ x.T).sum()
+
+        return f, (jax.ShapeDtypeStruct((b, 256), jnp.float32),)
+
+    # budget from a mid-size probe: batch 64's total + slack
+    mid = program_memory(*(lambda f_a: (f_a[0], *f_a[1]))(make(64)))
+    if mid["total"] is None:
+        pytest.skip("backend reports no memory analysis")
+    best, hist = max_feasible_batch(make, budget_bytes=mid["total"],
+                                    lo=1, hi=512)
+    assert 1 <= best <= 512
+    assert np.isfinite(best)
