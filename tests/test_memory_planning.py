@@ -84,3 +84,34 @@ def test_max_feasible_batch_real_compiles():
                                     lo=1, hi=512)
     assert 1 <= best <= 512
     assert np.isfinite(best)
+
+
+def test_pipeline_plan_microbatch(monkeypatch):
+    """SRPipeline.plan_microbatch wires the bisection to bench_forward
+    shapes; with an injected budget/measure path it must return the
+    planner's answer, and fall back to DEFAULT_MICROBATCH when the
+    backend reports no budget."""
+    from tests.test_serving import build_small_pipe
+    import tgsr_tpu.utils.memory as mem
+
+    pipe = build_small_pipe()
+
+    # CPU backend typically reports no budget -> fallback
+    monkeypatch.setattr(mem, "device_memory_budget", lambda *a, **k: None)
+    calls = {}
+
+    def fake_mfb(make, budget_bytes=None, lo=1, hi=4096, measure=None,
+                 quantum=1):
+        calls["budget"] = budget_bytes
+        if budget_bytes is None:
+            raise ValueError("no budget")
+        fn, args = make(lo)  # the factory must produce valid specs
+        assert args[1].shape == (lo, 16, 16, 3)
+        return 192, {}
+
+    monkeypatch.setattr(
+        "tgsr_tpu.utils.memory.max_feasible_batch", fake_mfb)
+    assert pipe.plan_microbatch() == pipe.DEFAULT_MICROBATCH
+
+    assert pipe.plan_microbatch(budget_bytes=10**9) == 192
+    assert calls["budget"] == 10**9

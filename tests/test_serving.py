@@ -18,8 +18,7 @@ from tgsr_tpu.models.generator_hf import NetGHighWeight
 from tgsr_tpu.models.text_encoder import TextEncoder
 
 
-@pytest.fixture(scope="module")
-def small_pipe():
+def build_small_pipe():
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
@@ -40,6 +39,11 @@ def small_pipe():
     netgh = NetGHighWeight(ngf=32, low="lr", sizes=(32, 64, 128))
     ghv = netgh.init(k, lr, fake, lr)
     return SRPipeline(cfg, vocab, tv, gv, ghv)
+
+
+@pytest.fixture(scope="module")
+def small_pipe():
+    return build_small_pipe()
 
 
 def _requests(n, T=18, seed=0):

@@ -304,6 +304,41 @@ class SRPipeline:
     # measured throughput sweet spot (docs/PERF.md) with ~6 GB headroom.
     DEFAULT_MICROBATCH = 768
 
+    def plan_microbatch(self, budget_bytes: Optional[int] = None,
+                        quantum: int = 64, lo: int = 64,
+                        hi: int = 4096) -> int:
+        """Pick the largest scan-step microbatch that FITS this device, by
+        compile-time memory analysis (utils.memory) — no execution, no
+        OOM crash-retry. Each bisection probe is one AOT compile
+        (~30 s on the remote-compile stack), so call once per
+        (device, model) and cache; falls back to DEFAULT_MICROBATCH when
+        the backend reports neither memory capacity nor a usable plan.
+
+        New-device porting tool: DEFAULT_MICROBATCH encodes the v5e
+        measurement; `pipe.plan_microbatch()` re-derives the ceiling on
+        anything else."""
+        from tgsr_tpu.utils.memory import max_feasible_batch
+
+        T = self.cfg.TEXT.WORDS_NUM
+        h = w = self.cfg.TREE.BASE_SIZE
+
+        def make(b):
+            def f(variables, lr_b, cap_b, len_b):
+                return jnp.sum(self.bench_forward(
+                    variables, lr_b, cap_b, len_b).astype(jnp.float32))
+
+            return f, (self.variables,
+                       jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32),
+                       jax.ShapeDtypeStruct((b, T), jnp.int32),
+                       jax.ShapeDtypeStruct((b,), jnp.int32))
+
+        try:
+            best, _ = max_feasible_batch(make, budget_bytes=budget_bytes,
+                                         lo=lo, hi=hi, quantum=quantum)
+        except ValueError:  # no budget known for this backend
+            return self.DEFAULT_MICROBATCH
+        return best or self.DEFAULT_MICROBATCH
+
     def sr_batched(self, lr, captions, cap_lens,
                    microbatch: Optional[int] = None) -> np.ndarray:
         """Memory-planned large-batch SR: ANY number of images N.
