@@ -115,3 +115,34 @@ def test_pipeline_plan_microbatch(monkeypatch):
 
     assert pipe.plan_microbatch(budget_bytes=10**9) == 192
     assert calls["budget"] == 10**9
+
+
+def test_gan_trainer_plan_batch():
+    """plan_batch AOT-compiles the production fused step at candidate
+    batches (nothing executes beyond the tiny shape-source init) and
+    bisects the budget; with a generous injected budget at tiny geometry
+    it returns a feasible batch in range."""
+    import dataclasses
+
+    from tgsr_tpu.config import Config
+    from tgsr_tpu.engine.gan_trainer import GANTrainer
+    from tgsr_tpu.models.text_encoder import TextEncoder
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=4, BASE_SIZE=8),
+        GAN=dataclasses.replace(cfg.GAN, GF_DIM=8, DF_DIM=8),
+    )
+    vocab, T = 11, cfg.TEXT.WORDS_NUM
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    tv = enc.init(jax.random.PRNGKey(0), jnp.ones((2, T), jnp.int32),
+                  jnp.full((2,), 4, jnp.int32))
+    trainer = GANTrainer(cfg, vocab, tv)
+
+    with pytest.raises(ValueError):
+        # CPU reports no memory capacity
+        trainer.plan_batch(lo=2, hi=4, quantum=2)
+
+    best = trainer.plan_batch(budget_bytes=10**12, lo=2, hi=4, quantum=2)
+    assert best in (2, 4)

@@ -439,6 +439,53 @@ class GANTrainer:
             self._train_scan = jax.jit(scan_fn, donate_argnums=(0,))
         return self._train_scan(state, batches, rng)
 
+    # -- capacity planning -------------------------------------------------
+
+    def plan_batch(self, state=None, budget_bytes: Optional[int] = None,
+                   lo: int = 8, hi: int = 1024, quantum: int = 8) -> int:
+        """Largest training batch whose fused D+G step FITS the device, by
+        compile-time memory bisection (utils.memory) — the B=160/256 OOM
+        region of docs/PERF.md "Training batch scaling" was mapped by
+        crash-retry; this derives it from XLA's AOT plan without running
+        a step. Each probe is one compile; call once per (device, model,
+        remat policy). Returns 0 if even `lo` does not fit; raises
+        ValueError when no budget is known (e.g. CPU backends).
+
+        `state`: an existing GANTrainState for the param/opt shape tree
+        (shapes are batch-independent); built at a tiny batch if omitted.
+        """
+        from tgsr_tpu.utils.memory import max_feasible_batch
+
+        if state is None:
+            state = self.init_state(jax.random.PRNGKey(0), batch_size=2)
+        state_spec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            state)
+        T = self.cfg.TEXT.WORDS_NUM
+        base = self.cfg.TREE.BASE_SIZE
+        sizes = self.sizes
+        k0 = jax.random.PRNGKey(0)  # spec matches raw/typed key convention
+        rng_spec = jax.ShapeDtypeStruct(k0.shape, k0.dtype)
+        # production step: donated state, same jit as train_step
+        step = jax.jit(self._step_fn, donate_argnums=(0,))
+
+        def make(b):
+            batch_spec = {
+                "lr": jax.ShapeDtypeStruct((b, base, base, 3), jnp.float32),
+                "real_pyramid": [
+                    jax.ShapeDtypeStruct((b, s, s, 3), jnp.float32)
+                    for s in sizes
+                ],
+                "captions": jax.ShapeDtypeStruct((b, T), jnp.int32),
+                "cap_lens": jax.ShapeDtypeStruct((b,), jnp.int32),
+                "class_ids": jax.ShapeDtypeStruct((b,), jnp.int32),
+            }
+            return step, (state_spec, batch_spec, rng_spec)
+
+        best, _ = max_feasible_batch(make, budget_bytes=budget_bytes,
+                                     lo=lo, hi=hi, quantum=quantum)
+        return best
+
 
 def clip_by_global_norm(tx: optax.GradientTransformation,
                         max_norm: float) -> optax.GradientTransformation:
