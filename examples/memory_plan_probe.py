@@ -23,8 +23,7 @@ def main():
 
     from tgsr_tpu.config import config_from_file
     from tgsr_tpu.engine.inference import SRPipeline
-    from tgsr_tpu.utils.memory import (device_memory_budget,
-                                       max_feasible_batch, program_memory)
+    from tgsr_tpu.utils.memory import device_memory_budget, program_memory
 
     cfg = config_from_file(os.path.join(REF, "cfg/eval_faceSR_attn2.yml"))
     with open(os.path.join(REF, "data/face/testset.pickle"), "rb") as f:
@@ -35,32 +34,28 @@ def main():
         compute_dtype=jnp.bfloat16)
     T = cfg.TEXT.WORDS_NUM
 
-    def make(b):
-        def f(variables, lr, caps, lens):
-            return jnp.sum(pipe.bench_forward(variables, lr, caps,
-                                              lens).astype(jnp.float32))
-
-        args = (pipe.variables,
-                jax.ShapeDtypeStruct((b, 32, 32, 3), jnp.float32),
-                jax.ShapeDtypeStruct((b, T), jnp.int32),
-                jax.ShapeDtypeStruct((b,), jnp.int32))
-        return f, args
-
     budget = device_memory_budget()
     print(f"device {jax.devices()[0]}, budget "
           f"{budget / 2**30:.2f} GiB" if budget else "no budget reported",
           flush=True)
 
-    for b in (256, 768):
-        mem = program_memory(*(lambda fa: (fa[0], *fa[1]))(make(b)))
-        tot = mem["total"]
-        print(f"B={b}: temp {mem['temp'] / 2**30:.2f} GiB, total "
-              f"{(tot or 0) / 2**30:.2f} GiB", flush=True)
+    # spot-check the plan at two batch sizes (pipeline's own forward)
+    def f(variables, lr, caps, lens):
+        return jnp.sum(pipe.bench_forward(variables, lr, caps,
+                                          lens).astype(jnp.float32))
 
-    best, hist = max_feasible_batch(make, budget_bytes=budget,
-                                    lo=256, hi=4096, quantum=128)
-    print("probe history:", {b: (f"{t / 2**30:.2f} GiB" if t else "OOM")
-                             for b, t in sorted(hist.items())}, flush=True)
+    for b in (256, 768):
+        mem = program_memory(
+            f, pipe.variables,
+            jax.ShapeDtypeStruct((b, 32, 32, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, T), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.int32))
+        print(f"B={b}: temp {(mem['temp'] or 0) / 2**30:.2f} GiB, total "
+              f"{(mem['total'] or 0) / 2**30:.2f} GiB", flush=True)
+
+    # the product path: same bisection SRPipeline ships
+    best = pipe.plan_microbatch(budget_bytes=budget, lo=256, hi=4096,
+                                quantum=128)
     print(f"PLANNED max single-dispatch batch: {best} "
           f"(docs/PERF.md empirical ceiling: <1024; sr_batched default "
           f"microbatch {pipe.DEFAULT_MICROBATCH})", flush=True)

@@ -146,3 +146,17 @@ def test_gan_trainer_plan_batch():
 
     best = trainer.plan_batch(budget_bytes=10**12, lo=2, hi=4, quantum=2)
     assert best in (2, 4)
+
+
+def test_program_memory_respects_prejitted_fn():
+    """An already-jitted fn (e.g. the production donated train step) must
+    be lowered as-is — re-wrapping would drop donate_argnums and
+    overstate the plan."""
+    def f(x):
+        return x * 2.0
+
+    jf = jax.jit(f, donate_argnums=(0,))
+    spec = jax.ShapeDtypeStruct((128, 128), jnp.float32)
+    mem = program_memory(jf, spec)
+    assert set(mem) == {"temp", "arguments", "output", "generated_code",
+                        "total"}

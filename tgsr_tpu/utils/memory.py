@@ -24,9 +24,14 @@ def program_memory(fn: Callable, *args, static_argnums=(),
     """AOT-compile `fn(*args, **kwargs)` and return XLA's memory plan in
     bytes: {temp, arguments, output, generated_code, total}. Nothing is
     executed; args only contribute shapes/dtypes (jax.ShapeDtypeStruct
-    works). Fields the backend does not report come back as None."""
-    lowered = jax.jit(fn, static_argnums=static_argnums).lower(
-        *args, **kwargs)
+    works). Fields the backend does not report come back as None.
+
+    An already-jitted `fn` is lowered as-is — re-wrapping would silently
+    drop its donate_argnums and overstate the plan (donated inputs alias
+    outputs); pass the production jit to measure the production plan."""
+    target = fn if hasattr(fn, "lower") else jax.jit(
+        fn, static_argnums=static_argnums)
+    lowered = target.lower(*args, **kwargs)
     analysis = lowered.compile().memory_analysis()
 
     def grab(*names):
@@ -112,7 +117,8 @@ def max_feasible_batch(
     lo_b, hi_b = lo_q, max(lo_q, hi)
     while True:
         mid = (lo_b + hi_b + 1) // 2
-        mid -= mid % q if mid - mid % q >= lo_q else 0
+        if mid - mid % q >= lo_q:
+            mid -= mid % q  # snap down to the shape quantum
         if mid <= lo_b or mid > hi_b:
             break
         ok, t = fits(mid)
