@@ -124,11 +124,15 @@ def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TGSR-TPU SR service")
-    parser.add_argument("--cfg", dest="cfg_file", required=True)
-    parser.add_argument("--netg", required=True,
+    parser.add_argument("--artifact", default="",
+                        help="serving-artifact dir (SRPipeline."
+                             "save_artifact) — replaces --cfg/--netg/"
+                             "--vocab_pickle")
+    parser.add_argument("--cfg", dest="cfg_file", default="")
+    parser.add_argument("--netg", default="",
                         help="reference netG_epoch_*.pth (netGH resolved "
                              "alongside)")
-    parser.add_argument("--vocab_pickle", required=True)
+    parser.add_argument("--vocab_pickle", default="")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8718)
     parser.add_argument("--max_batch", type=int, default=32)
@@ -147,17 +151,28 @@ def main(argv=None):
     enable_compile_cache()
     from tgsr_tpu.engine.inference import SRPipeline
 
-    cfg = config_from_file(args.cfg_file)
-    vocab = load_vocab(args.vocab_pickle)
-    quant = None
-    if args.int8:
-        from tgsr_tpu.engine.quant import face_s8_scales
+    if args.artifact:
+        pipe, vocab = SRPipeline.load_artifact(args.artifact)
+        if vocab is None:
+            if not args.vocab_pickle:
+                raise SystemExit("artifact has no vocab.json: pass "
+                                 "--vocab_pickle")
+            vocab = load_vocab(args.vocab_pickle)
+    else:
+        if not (args.cfg_file and args.netg and args.vocab_pickle):
+            raise SystemExit("pass --artifact OR --cfg + --netg + "
+                             "--vocab_pickle")
+        cfg = config_from_file(args.cfg_file)
+        vocab = load_vocab(args.vocab_pickle)
+        quant = None
+        if args.int8:
+            from tgsr_tpu.engine.quant import face_s8_scales
 
-        quant = face_s8_scales()
-    pipe = SRPipeline.from_reference_checkpoints(
-        cfg, vocab.n_words, args.netg,
-        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        quant_scales=quant)
+            quant = face_s8_scales()
+        pipe = SRPipeline.from_reference_checkpoints(
+            cfg, vocab.n_words, args.netg,
+            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            quant_scales=quant)
     httpd = make_server(pipe, vocab, host=args.host, port=args.port,
                         max_batch=args.max_batch,
                         max_delay_ms=args.max_delay_ms)

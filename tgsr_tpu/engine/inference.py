@@ -146,6 +146,81 @@ class SRPipeline:
             )
         return cls(cfg, vocab_size, text_vars, netg_vars, netgh_vars, **kw)
 
+    # -- deployment artifact ---------------------------------------------
+
+    def save_artifact(self, path: str, vocab=None) -> str:
+        """One-directory deployment bundle, so serving needs neither the
+        reference .pth files nor a YAML: config.json (full schema dump),
+        variables.msgpack (text+netg+netgh trees), quant_scales.json (if
+        the pipeline is int8), vocab.json (optional `data.tokenizer.Vocab`
+        for caption encoding), meta.json (vocab_size, compute dtype).
+        Load with `SRPipeline.load_artifact(path)`; `cli.serve
+        --artifact` consumes it directly."""
+        import json
+        import os
+
+        from tgsr_tpu.checkpoints.io import save_variables
+        from tgsr_tpu.config import config_to_dict
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(config_to_dict(self.cfg), f, indent=1, sort_keys=True)
+        save_variables(os.path.join(path, "variables.msgpack"),
+                       self.variables)
+        if self.quant_scales:
+            with open(os.path.join(path, "quant_scales.json"), "w") as f:
+                json.dump(self.quant_scales, f, indent=1, sort_keys=True)
+        if vocab is not None:
+            with open(os.path.join(path, "vocab.json"), "w") as f:
+                json.dump({"ixtoword": vocab.ixtoword}, f)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({
+                "vocab_size": self.text_encoder.vocab_size,
+                "compute_dtype": jnp.dtype(self.compute_dtype).name,
+                "return_attn": self.return_attn,
+            }, f)
+        return path
+
+    @classmethod
+    def load_artifact(cls, path: str, mesh: Optional[Mesh] = None,
+                      compute_dtype=None, **kw):
+        """Rebuild a pipeline (and its vocab, if bundled) from
+        `save_artifact`'s directory. Returns (pipeline, vocab-or-None).
+        `compute_dtype`/kw override the saved settings."""
+        import json
+        import os
+
+        from tgsr_tpu.checkpoints.io import load_variables
+        from tgsr_tpu.config import config_from_dict
+
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = config_from_dict(json.load(f))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        variables = load_variables(os.path.join(path, "variables.msgpack"))
+        scales = None
+        scales_path = os.path.join(path, "quant_scales.json")
+        if os.path.exists(scales_path):
+            with open(scales_path) as f:
+                scales = json.load(f)
+        vocab = None
+        vocab_path = os.path.join(path, "vocab.json")
+        if os.path.exists(vocab_path):
+            from tgsr_tpu.data.tokenizer import Vocab
+
+            with open(vocab_path) as f:
+                ixtoword = {int(k): v
+                            for k, v in json.load(f)["ixtoword"].items()}
+            vocab = Vocab(ixtoword, {w: i for i, w in ixtoword.items()})
+        kw.setdefault("return_attn", meta.get("return_attn", False))
+        pipe = cls(
+            cfg, meta["vocab_size"], variables["text"], variables["netg"],
+            variables["netgh"], mesh=mesh,
+            compute_dtype=(compute_dtype
+                           or jnp.dtype(meta["compute_dtype"])),
+            quant_scales=scales, **kw)
+        return pipe, vocab
+
     # -- forward -------------------------------------------------------------
 
     def _quant_ctx(self, which: str):
