@@ -26,17 +26,44 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 2.7
 
 
+def _init_watchdog(seconds: float = 300.0):
+    """Backend init on the axon stack hangs FOREVER when the tunnel/relay
+    is down (observed round 3: make_c_api_client blocks with no listener
+    on the relay port). A healthy init takes seconds; if jax.devices()
+    hasn't returned within `seconds`, print a diagnosable failure line
+    and exit instead of hanging the driver. Returns a cancel() fn."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "BENCH FAILED: jax backend init timed out "
+                          f"after {seconds:.0f}s (axon tunnel down?)",
+                "value": 0, "unit": "img/s", "vs_baseline": 0,
+            }), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
+
+
 def main():
     import pickle
 
+    cancel_watchdog = _init_watchdog()
     import jax
+
+    dev = jax.devices()[0]
+    cancel_watchdog()
+
     import jax.numpy as jnp
     from PIL import Image
 
     from tgsr_tpu.config import config_from_file, default_config
     from tgsr_tpu.engine.inference import SRPipeline
 
-    dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 
     ref = "/root/reference"
