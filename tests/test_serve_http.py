@@ -102,3 +102,44 @@ def test_encode_caption_text():
     assert cap.tolist() == [1, 2, 3, 0, 0, 0] and n == 3
     cap, n = encode_caption_text("", vocab, 6)
     assert n == 1 and cap.tolist() == [0] * 6
+
+
+def test_http_native_mode(http_srv):
+    """?mode=native: the body IS the native-size LR; output is input*scale
+    (cropped to a multiple of the scale), equal to sr_arbitrary."""
+    httpd, vocab = http_srv
+    port = httpd.server_address[1]
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(
+        rng.integers(0, 256, (43, 26, 3)).astype(np.uint8))  # crops to 40x24
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sr?mode=native", data=buf.getvalue(),
+        headers={"X-Caption": "a big nose"}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert out.shape == (40 * 8, 24 * 8, 3)
+
+    from tgsr_tpu.cli.serve import encode_caption_text
+    cap, n = encode_caption_text("a big nose", vocab, 18)
+    a = np.asarray(img.crop((0, 0, 24, 40)), np.float32) / 127.5 - 1.0
+    direct = httpd.batcher.pipeline.sr_arbitrary(
+        a[None], cap[None], np.asarray([n], np.int32), bucket=64)[0]
+    np.testing.assert_array_equal(out, direct)
+
+    # bad mode and below-one-tile image
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sr?mode=wat", data=buf.getvalue(),
+        headers={"X-Caption": "a"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    tiny = io.BytesIO()
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(tiny, format="PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sr?mode=native", data=tiny.getvalue(),
+        headers={"X-Caption": "a"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400

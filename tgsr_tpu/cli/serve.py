@@ -14,6 +14,13 @@ Protocol (deliberately dependency-free — stdlib http.server + PIL):
   POST /sr     body = any image (PNG/JPEG); it is bicubic-resized to the
                model's LR size. Caption via the `X-Caption` header (or
                `?caption=`). Response: image/png, the SR result.
+  POST /sr?mode=native
+               arbitrary-geometry SR: the body IS the low-res input at
+               its native size (cropped down to a multiple of the scale,
+               = get_imgsexampletest, datasets.py:200-233); runs through
+               SRPipeline.sr_arbitrary with bucket=64 to bound compile
+               counts. Not batched across requests (shapes vary);
+               serialized by a lock against the batching collector.
   GET /healthz JSON: server stats + latency percentiles.
 
 The HTTP layer is ThreadingHTTPServer: each request thread blocks on its
@@ -58,9 +65,11 @@ def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
 
     T = pipeline.cfg.TEXT.WORDS_NUM
     size = lr_size or pipeline.cfg.TREE.BASE_SIZE
+    scale = pipeline.cfg.scale
     batcher = BatchingServer(pipeline, max_batch=max_batch,
                              max_delay_ms=max_delay_ms,
                              lr_shape=(size, size, 3))
+    native_lock = threading.Lock()  # one native dispatch at a time
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -101,11 +110,29 @@ def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
                     "RGB")
             except Exception as e:
                 return self._json(400, {"error": f"bad image: {e}"})
-            lr = np.asarray(img.resize((size, size), Image.BICUBIC),
-                            np.float32) / 127.5 - 1.0
             cap, length = encode_caption_text(caption, vocab, T)
+            mode = parse_qs(url.query).get("mode", ["fixed"])[0]
             try:
-                sr = batcher.submit(lr, cap, length).result(timeout=600)
+                if mode == "native":
+                    # crop down to a multiple of the scale (the reference
+                    # example-test contract, datasets.py:206-210)
+                    w0, h0 = (img.width // scale) * scale, \
+                        (img.height // scale) * scale
+                    if w0 < scale or h0 < scale:
+                        return self._json(400, {
+                            "error": f"image below one {scale}px tile"})
+                    a = np.asarray(img.crop((0, 0, w0, h0)),
+                                   np.float32) / 127.5 - 1.0
+                    with native_lock:
+                        sr = pipeline.sr_arbitrary(
+                            a[None], np.asarray(cap)[None],
+                            np.asarray([length], np.int32), bucket=64)[0]
+                elif mode == "fixed":
+                    lr = np.asarray(img.resize((size, size), Image.BICUBIC),
+                                    np.float32) / 127.5 - 1.0
+                    sr = batcher.submit(lr, cap, length).result(timeout=600)
+                else:
+                    return self._json(400, {"error": f"bad mode {mode!r}"})
             except Exception as e:
                 return self._json(500, {"error": str(e)})
             buf = io.BytesIO()
