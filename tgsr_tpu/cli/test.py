@@ -97,6 +97,11 @@ def main(argv=None):
                         help="with --arbitrary: pad LR sizes up to multiples "
                              "of BUCKET to bound the XLA compile count "
                              "(0 = exact native shapes)")
+    parser.add_argument("--save_artifact", default="",
+                        help="after building the (optionally int8) "
+                             "pipeline, bundle it + the vocab into this "
+                             "deployment dir (SRPipeline.save_artifact; "
+                             "serve it with cli.serve --artifact)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 quantized serving (engine/quant.py): "
                              "calibrates activation scales on the first "
@@ -206,6 +211,10 @@ def main(argv=None):
             return_attn=True, quant_scales=scales)
         print(f"int8 serving: calibrated {len(scales['netg'])}+"
               f"{len(scales['netgh'])} convs on batch 0")
+
+    if args.save_artifact:
+        pipe.save_artifact(args.save_artifact, vocab=ds.vocab)
+        print(f"serving artifact -> {args.save_artifact}")
 
     # one jitted degrade fn: eager ops on the axon platform pay a
     # remote-compile round trip per op
