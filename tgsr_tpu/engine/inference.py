@@ -115,17 +115,29 @@ class SRPipeline:
         text_seed: int = 100, **kw,
     ) -> "SRPipeline":
         """Mirrors the reference loading protocol: netGH path derived from
-        netG by name substitution (trainer_objective.py:91-93)."""
+        netG by name substitution (trainer_objective.py:91-93). The
+        converter family follows BRANCH_NUM like the model switch
+        (trainer_objective.py:74-88): ==4 -> model.py converters, else
+        models16 (no upstream x16 checkpoint exists today, but the path
+        is live for user-trained ones from cli.train_gan)."""
         from tgsr_tpu.checkpoints.convert_torch import (
-            convert_netg_low, convert_netgh_weight, convert_text_encoder,
+            convert_netg_low, convert_netg_low16, convert_netgh_weight,
+            convert_netgh_weight16, convert_text_encoder,
             load_torch_state_dict,
         )
 
         if netgh_path is None:
             netgh_path = netg_path.replace("netG", "netGH")
-        netg_vars = convert_netg_low(load_torch_state_dict(netg_path),
-                                     n_stages=cfg.n_stages)
-        netgh_vars = convert_netgh_weight(load_torch_state_dict(netgh_path))
+        if cfg.TREE.BRANCH_NUM == 4:
+            netg_vars = convert_netg_low(load_torch_state_dict(netg_path),
+                                         n_stages=cfg.n_stages)
+            netgh_vars = convert_netgh_weight(
+                load_torch_state_dict(netgh_path))
+        else:
+            netg_vars = convert_netg_low16(load_torch_state_dict(netg_path))
+            netgh_vars = convert_netgh_weight16(
+                load_torch_state_dict(netgh_path),
+                weightmap=cfg.EVAL.WEIGHTMAP)
         enc = TextEncoder(vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
                           rnn_type=cfg.RNN_TYPE)
         if text_encoder_path:
