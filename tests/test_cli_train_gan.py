@@ -70,3 +70,50 @@ def test_train_gan_cli_end_to_end_and_resume(face_fixture, tmp_path):
           "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
           "--resume"])
     assert latest_step(str(out / "ckpt")) >= first + 2
+
+
+@pytest.mark.slow
+def test_train_gan_cli_warm_start_from_reference(face_fixture, tmp_path):
+    """--init_netg loads the REAL face_S8 checkpoints into the trainer
+    (finetune workflow; = the reference's cfg.TRAIN.NET_G resume
+    convention). Conv trees are size-agnostic, so the 8px smoke geometry
+    accepts the 32px-trained weights as long as GF_DIM matches."""
+    REF = "/root/reference/Checkpoint/face_S8/netG_epoch_7.pth"
+    if not os.path.exists(REF):
+        pytest.skip("reference checkpoints not mounted")
+    data_dir, _ = face_fixture
+    cfg = data_dir / "train_face32.yml"
+    cfg.write_text(
+        "CONFIG_NAME: 'warm'\n"
+        "DATASET_NAME: 'face'\n"
+        f"DATA_DIR: '{data_dir}'\n"
+        "TREE:\n    BRANCH_NUM: 4\n    BASE_SIZE: 8\n"
+        "GAN:\n    GF_DIM: 32\n    DF_DIM: 16\n"
+        "TRAIN:\n    FLAG: True\n    BATCH_SIZE: 2\n    MAX_EPOCH: 1\n"
+        "    SNAPSHOT_INTERVAL: 1\n"
+    )
+    out = tmp_path / "warm_out"
+
+    from tgsr_tpu.checkpoints.convert_torch import (convert_netg_low,
+                                                    load_torch_state_dict)
+    from tgsr_tpu.checkpoints.io import load_variables
+    from tgsr_tpu.cli.train_gan import main
+
+    main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+          "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
+          "--init_netg", REF])
+
+    # the run's first snapshot must carry the reference weights, not a
+    # random init: compare one conv kernel (trained for 1 epoch of 2
+    # steps -> within an lr-scale distance of the loaded values)
+    ref_k = np.asarray(convert_netg_low(load_torch_state_dict(REF))
+                       ["params"]["h_net1"]["residual_0"]["conv1"]["kernel"])
+    snaps = sorted(p for p in os.listdir(out / "Model") if "netG_" in p)
+    got = load_variables(str(out / "Model" / snaps[-1]))
+    got_k = np.asarray(got["params"]["h_net1"]["residual_0"]["conv1"]
+                       ["kernel"])
+    assert np.abs(got_k - ref_k).max() < 0.05, "warm start not applied"
+
+    with pytest.raises(SystemExit):
+        main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+              "--out_dir", str(out), "--init_netg", "/nonexistent.pth"])

@@ -52,6 +52,13 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest orbax checkpoint under "
                              "--out_dir/ckpt")
+    parser.add_argument("--init_netg", default="",
+                        help="warm-start G from a reference netG_epoch_*.pth "
+                             "(netGH by name substitution; family-aware "
+                             "converters). Defaults to cfg.TRAIN.NET_G when "
+                             "that path exists — the reference's own resume "
+                             "convention. EMA starts from the loaded "
+                             "weights; --resume takes precedence")
     args = parser.parse_args(argv)
 
     loss_weights = {}
@@ -142,6 +149,32 @@ def main(argv=None):
     from tgsr_tpu.checkpoints.orbax_io import (
         latest_step, restore_train_state, save_train_state)
     from tgsr_tpu.utils.observability import MetricsLogger, StepTimer
+
+    init_netg = args.init_netg or cfg.TRAIN.NET_G
+    if init_netg and os.path.exists(init_netg):
+        from tgsr_tpu.checkpoints.convert_torch import (
+            convert_netg_low, convert_netg_low16, convert_netgh_weight,
+            convert_netgh_weight16, load_torch_state_dict)
+
+        netgh_path = init_netg.replace("netG", "netGH")
+        if cfg.TREE.BRANCH_NUM == 4:
+            gv = convert_netg_low(load_torch_state_dict(init_netg),
+                                  n_stages=cfg.n_stages)
+            ghv = convert_netgh_weight(load_torch_state_dict(netgh_path))
+        else:
+            gv = convert_netg_low16(load_torch_state_dict(init_netg))
+            ghv = convert_netgh_weight16(load_torch_state_dict(netgh_path),
+                                         weightmap=cfg.EVAL.WEIGHTMAP)
+        g_params = {"netg": gv["params"], "netgh": ghv["params"]}
+        state = state.replace(
+            g_params=g_params,
+            g_stats={"netg": gv.get("batch_stats", {}),
+                     "netgh": ghv.get("batch_stats", {})},
+            g_ema=jax.tree.map(jnp.copy, g_params),
+        )
+        print(f"warm-started G from {init_netg} (+{netgh_path})")
+    elif args.init_netg:
+        raise SystemExit(f"--init_netg not found: {args.init_netg}")
 
     start_step = 0
     if args.resume and latest_step(ckpt_dir) is not None:
