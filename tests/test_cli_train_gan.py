@@ -117,3 +117,29 @@ def test_train_gan_cli_warm_start_from_reference(face_fixture, tmp_path):
     with pytest.raises(SystemExit):
         main(["--cfg", str(cfg), "--data_dir", str(data_dir),
               "--out_dir", str(out), "--init_netg", "/nonexistent.pth"])
+
+
+def test_train_gan_cli_nan_abort(face_fixture, tmp_path):
+    """Failure detection: a diverging run (absurd lr) must abort with a
+    clear message pointing at the last periodic checkpoint instead of
+    training garbage."""
+    data_dir, _ = face_fixture
+    cfg = data_dir / "train_nan.yml"
+    cfg.write_text(
+        "CONFIG_NAME: 'nan'\n"
+        "DATASET_NAME: 'face'\n"
+        f"DATA_DIR: '{data_dir}'\n"
+        "TREE:\n    BRANCH_NUM: 4\n    BASE_SIZE: 8\n"
+        "GAN:\n    GF_DIM: 16\n    DF_DIM: 16\n"
+        "TRAIN:\n    FLAG: True\n    BATCH_SIZE: 2\n    MAX_EPOCH: 50\n"
+        "    SNAPSHOT_INTERVAL: 1000\n"
+        "    GENERATOR_LR: 1000000.0\n"
+        "    DISCRIMINATOR_LR: 1000000.0\n"
+    )
+    from tgsr_tpu.cli.train_gan import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+              "--out_dir", str(tmp_path / "nan_out"), "--epochs", "50",
+              "--log_every", "1000", "--nan_check_every", "1"])
+    assert "NaN/Inf" in str(e.value)

@@ -52,6 +52,12 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest orbax checkpoint under "
                              "--out_dir/ckpt")
+    parser.add_argument("--nan_check_every", type=int, default=50,
+                        help="failure detection: every N steps, fetch the "
+                             "metrics and ABORT (with an emergency orbax "
+                             "checkpoint at the last finite step) if any "
+                             "is non-finite; 0 disables. Checking costs "
+                             "one host sync per N steps")
     parser.add_argument("--init_netg", default="",
                         help="warm-start G from a reference netG_epoch_*.pth "
                              "(netGH by name substitution; family-aware "
@@ -246,6 +252,23 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
             }
             state, metrics, rng = trainer.train_step(state, db, rng)
             _LAST_STATE[0] = state
+            if args.nan_check_every and it % args.nan_check_every == 0:
+                bad = [k for k, v in metrics.items()
+                       if not np.isfinite(float(v))]
+                if bad:
+                    # failure detection (SURVEY §5): stop loudly instead
+                    # of training garbage for hours. The poisoned state is
+                    # NOT saved (and the pre-step state was donated); the
+                    # last periodic orbax checkpoint is the resume point.
+                    from tgsr_tpu.checkpoints.orbax_io import latest_step
+                    _LAST_STATE[0] = None  # block the final-save path
+
+                    last = latest_step(ckpt_dir)
+                    raise SystemExit(
+                        f"NaN/Inf in metrics {bad} at it {it}; resume "
+                        f"from the last periodic checkpoint "
+                        f"({'step ' + str(last) if last else 'none yet'}) "
+                        f"with --resume after lowering the lr.")
             ema_ms = timer.tick()
             if it % args.log_every == 0:
                 print(f"epoch {epoch} it {it}: " + " ".join(
