@@ -113,3 +113,39 @@ def test_damsm_mixed_precision_close_to_f32():
         assert np.isfinite(b), k
         if abs(a) > 1e-3:
             assert abs(a - b) / abs(a) < 0.1, (k, a, b)
+
+
+def test_fit_nan_abort():
+    """fit's log-point failure detection: a diverged run raises instead of
+    continuing (metrics fetch already syncs there, so the check is free)."""
+    import numpy as np
+
+    from tgsr_tpu.config import Config
+    from tgsr_tpu.data.pipeline import BatchLoader
+    from tgsr_tpu.engine.damsm_trainer import DAMSMTrainer
+
+    class _OneBatchLoader:
+        def __init__(self, batch, n=4):
+            self.batch, self.n = batch, n
+
+        def epoch(self, e):
+            for _ in range(self.n):
+                yield self.batch
+
+    cfg = Config()
+    cfg.TRAIN.ENCODER_LR = 1e9  # force divergence
+    rng = np.random.default_rng(0)
+    n, T, vocab = 4, cfg.TEXT.WORDS_NUM, 13
+    caps = np.zeros((n, T), np.int32)
+    caps[:, :5] = rng.integers(1, vocab, (n, 5))
+    batch = {
+        "hr": rng.integers(0, 256, (n, 64, 64, 3)).astype(np.uint8),
+        "captions": caps,
+        "cap_lens": np.full((n,), 5, np.int32),
+        "class_ids": np.arange(n, dtype=np.int32),
+    }
+    trainer = DAMSMTrainer(cfg, vocab_size=vocab, use_inception=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), image_size=64,
+                               batch_size=2)
+    with pytest.raises(FloatingPointError, match="NaN/Inf"):
+        trainer.fit(state, _OneBatchLoader(batch), epochs=3, log_every=1)

@@ -243,6 +243,18 @@ class DAMSMTrainer:
                 if log_every and i % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     history.append({"epoch": epoch, "it": i, "lr": lr, **m})
+                    # failure detection at the existing sync points (the
+                    # fetch already forces the step): a diverged run stops
+                    # here, resumable from the last snapshot
+                    import math
+
+                    bad = [k for k, v in m.items()
+                           if not math.isfinite(v)]
+                    if bad:
+                        raise FloatingPointError(
+                            f"NaN/Inf in DAMSM metrics {bad} at epoch "
+                            f"{epoch} it {i}; resume from the last "
+                            f"snapshot with a lower ENCODER_LR")
             if val_loader is not None:
                 vloss = self.evaluate(state, val_loader, preprocess)
                 history.append({"epoch": epoch, "val": vloss})
