@@ -2,6 +2,7 @@
 single-directory deployment round-trip."""
 
 import numpy as np
+import pytest
 
 from tests.test_serving import build_small_pipe
 from tgsr_tpu.data.tokenizer import Vocab
@@ -91,3 +92,29 @@ def test_serve_cli_consumes_artifact(tmp_path):
         httpd.shutdown()
         httpd.batcher.close()
         t.join(timeout=10)
+
+
+def test_load_artifact_use_quant_contract(tmp_path):
+    pipe = build_small_pipe()
+    out = pipe.save_artifact(str(tmp_path / "plain"))
+    # requiring quant from a scale-less bundle is an error
+    with pytest.raises(ValueError, match="quant_scales"):
+        SRPipeline.load_artifact(out, use_quant=True)
+    p, _ = SRPipeline.load_artifact(out, use_quant=False)
+    assert not p.quant_scales
+
+
+def test_eval_cli_artifact_drops_return_attn(tmp_path):
+    """cli.test saves serving bundles without return_attn (attention maps
+    are wasted compute on the serving hot path)."""
+    import json
+
+    pipe = build_small_pipe()
+    # mimic the eval CLI's attention-enabled pipeline
+    attn_pipe = SRPipeline(pipe.cfg, 41, pipe.variables["text"],
+                           pipe.variables["netg"], pipe.variables["netgh"],
+                           return_attn=True)
+    out = attn_pipe.save_artifact(str(tmp_path / "b"), return_attn=False)
+    assert json.load(open(f"{out}/meta.json"))["return_attn"] is False
+    loaded, _ = SRPipeline.load_artifact(out)
+    assert loaded.return_attn is False

@@ -30,8 +30,10 @@ def test_config_loads_strict(path):
 
 def test_geometry_contracts():
     by_name = {os.path.basename(p): config_from_file(p) for p in CONFIGS}
-    # coco test path hardcodes scale 4 (datasets.py:1548)
-    assert by_name["eval_cocoSR_attn2.yml"].scale == 4
+    # the reference has NO x4 generator family (trainer_objective.py:74-88
+    # routes BRANCH_NUM!=4 to models16), so the coco config is x8; the
+    # adapter's scale-4 test DATA path is a loading contract, not a model
+    assert by_name["eval_cocoSR_attn2.yml"].scale == 8
     assert by_name["eval_flowerSR_attn2.yml"].scale == 8
     assert by_name["eval_div2kSR_attn2.yml"].B_VALIDATION is True
     s8 = by_name["train_faceSR_S8.yml"]
@@ -39,3 +41,36 @@ def test_geometry_contracts():
     s16 = by_name["train_faceSR_S16.yml"]
     assert s16.scale == 16 and s16.METHOD == "S16"
     assert s16.TRAIN.SMOOTH.GAMMA1 == 4.0
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=os.path.basename)
+def test_config_builds_its_model_family(path):
+    """Every shipped config must construct a pipeline whose output size
+    matches its own cfg.imsize — this is what catches a config that the
+    BRANCH_NUM family switch would route to the wrong model stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from tgsr_tpu.engine.gan_trainer import GANTrainer
+    from tgsr_tpu.engine.inference import SRPipeline
+    from tgsr_tpu.models.text_encoder import TextEncoder
+
+    cfg = config_from_file(path)
+    vocab, T = 11, cfg.TEXT.WORDS_NUM
+    k = jax.random.PRNGKey(0)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    caps = jnp.ones((1, T), jnp.int32)
+    lens = jnp.full((1,), 4, jnp.int32)
+    tv = enc.init(k, caps, lens)
+    lr = jnp.zeros((1, cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE, 3))
+    # model vars via the trainer (shares the BRANCH_NUM family switch)
+    trainer = GANTrainer(cfg, vocab, tv)
+    state = trainer.init_state(k, batch_size=1)
+    pipe = SRPipeline(
+        cfg, vocab, tv,
+        {"params": state.g_params["netg"],
+         "batch_stats": state.g_stats["netg"]},
+        {"params": state.g_params["netgh"],
+         "batch_stats": state.g_stats["netgh"]})
+    out = pipe(lr, caps, lens)["sr"]
+    assert out.shape == (1, cfg.imsize, cfg.imsize, 3), path

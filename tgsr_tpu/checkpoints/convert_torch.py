@@ -360,3 +360,22 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return {k: _np(v) for k, v in sd.items()}
+
+
+def load_generator_pair(cfg, netg_path: str, netgh_path: str = None):
+    """Family-aware netG/netGH conversion (ONE implementation of the
+    reference's BRANCH_NUM==4 -> model.py else models16 switch,
+    trainer_objective.py:74-88, incl. the netG->netGH name substitution
+    at :91-93 and the weightmap flag). Returns (netg_vars, netgh_vars)."""
+    if netgh_path is None:
+        netgh_path = netg_path.replace("netG", "netGH")
+    if cfg.TREE.BRANCH_NUM == 4:
+        gv = convert_netg_low(load_torch_state_dict(netg_path),
+                              n_stages=cfg.n_stages)
+        ghv = convert_netgh_weight(load_torch_state_dict(netgh_path),
+                                   weightmap=cfg.EVAL.WEIGHTMAP)
+    else:
+        gv = convert_netg_low16(load_torch_state_dict(netg_path))
+        ghv = convert_netgh_weight16(load_torch_state_dict(netgh_path),
+                                     weightmap=cfg.EVAL.WEIGHTMAP)
+    return gv, ghv

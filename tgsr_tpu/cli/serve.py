@@ -20,12 +20,15 @@ Protocol (deliberately dependency-free — stdlib http.server + PIL):
                = get_imgsexampletest, datasets.py:200-233); runs through
                SRPipeline.sr_arbitrary with bucket=64 to bound compile
                counts. Not batched across requests (shapes vary);
-               serialized by a lock against the batching collector.
+               native requests serialize against each other.
   GET /healthz JSON: server stats + latency percentiles.
 
 The HTTP layer is ThreadingHTTPServer: each request thread blocks on its
-Future while the collector thread owns the device — the batching
-behavior under concurrency is exactly tests/test_serving.py's.
+Future while the collector thread owns the device for the batched path —
+the batching behavior under concurrency is exactly tests/test_serving.py's
+(native-mode dispatches are serialized against EACH OTHER by their own
+lock and may legitimately overlap collector batches: jax dispatch is
+thread-safe, the two paths share no python state).
 """
 
 from __future__ import annotations
@@ -179,7 +182,11 @@ def main(argv=None):
     from tgsr_tpu.engine.inference import SRPipeline
 
     if args.artifact:
-        pipe, vocab = SRPipeline.load_artifact(args.artifact)
+        pipe, vocab = SRPipeline.load_artifact(
+            args.artifact,
+            compute_dtype=jnp.float32 if args.f32 else None,
+            # --int8 = require bundled scales; --f32 = full precision
+            use_quant=True if args.int8 else False if args.f32 else None)
         if vocab is None:
             if not args.vocab_pickle:
                 raise SystemExit("artifact has no vocab.json: pass "

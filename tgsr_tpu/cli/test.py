@@ -213,7 +213,10 @@ def main(argv=None):
               f"{len(scales['netgh'])} convs on batch 0")
 
     if args.save_artifact:
-        pipe.save_artifact(args.save_artifact, vocab=ds.vocab)
+        # deployment bundle: drop return_attn (this CLI's pipeline computes
+        # attention for the grids; serving must not pay for it)
+        pipe.save_artifact(args.save_artifact, vocab=ds.vocab,
+                           return_attn=False)
         print(f"serving artifact -> {args.save_artifact}")
 
     # one jitted degrade fn: eager ops on the axon platform pay a

@@ -54,10 +54,11 @@ def main(argv=None):
                              "--out_dir/ckpt")
     parser.add_argument("--nan_check_every", type=int, default=50,
                         help="failure detection: every N steps, fetch the "
-                             "metrics and ABORT (with an emergency orbax "
-                             "checkpoint at the last finite step) if any "
-                             "is non-finite; 0 disables. Checking costs "
-                             "one host sync per N steps")
+                             "metrics and ABORT if any is non-finite "
+                             "(resume from the last periodic checkpoint; "
+                             "every snapshot is also finiteness-gated "
+                             "before it is written). 0 disables. Checking "
+                             "costs one host sync per N steps")
     parser.add_argument("--init_netg", default="",
                         help="warm-start G from a reference netG_epoch_*.pth "
                              "(netGH by name substitution; family-aware "
@@ -158,19 +159,9 @@ def main(argv=None):
 
     init_netg = args.init_netg or cfg.TRAIN.NET_G
     if init_netg and os.path.exists(init_netg):
-        from tgsr_tpu.checkpoints.convert_torch import (
-            convert_netg_low, convert_netg_low16, convert_netgh_weight,
-            convert_netgh_weight16, load_torch_state_dict)
+        from tgsr_tpu.checkpoints.convert_torch import load_generator_pair
 
-        netgh_path = init_netg.replace("netG", "netGH")
-        if cfg.TREE.BRANCH_NUM == 4:
-            gv = convert_netg_low(load_torch_state_dict(init_netg),
-                                  n_stages=cfg.n_stages)
-            ghv = convert_netgh_weight(load_torch_state_dict(netgh_path))
-        else:
-            gv = convert_netg_low16(load_torch_state_dict(init_netg))
-            ghv = convert_netgh_weight16(load_torch_state_dict(netgh_path),
-                                         weightmap=cfg.EVAL.WEIGHTMAP)
+        gv, ghv = load_generator_pair(cfg, init_netg)
         g_params = {"netg": gv["params"], "netgh": ghv["params"]}
         state = state.replace(
             g_params=g_params,
@@ -178,7 +169,8 @@ def main(argv=None):
                      "netgh": ghv.get("batch_stats", {})},
             g_ema=jax.tree.map(jnp.copy, g_params),
         )
-        print(f"warm-started G from {init_netg} (+{netgh_path})")
+        print(f"warm-started G from {init_netg} "
+              f"(+{init_netg.replace('netG', 'netGH')})")
     elif args.init_netg:
         raise SystemExit(f"--init_netg not found: {args.init_netg}")
 
@@ -230,6 +222,25 @@ def main(argv=None):
 _LAST_STATE = [None]
 
 
+def _abort_if_nonfinite(metrics, it, ckpt_dir):
+    """Failure detection (SURVEY §5): stop loudly instead of training
+    garbage for hours. The poisoned state is NOT saved (the pre-step
+    state was donated); the last periodic orbax checkpoint is the resume
+    point. Fetching the metrics forces the step (a host sync)."""
+    bad = [k for k, v in metrics.items() if not np.isfinite(float(v))]
+    if not bad:
+        return
+    from tgsr_tpu.checkpoints.orbax_io import latest_step
+
+    _LAST_STATE[0] = None  # block the final-save path
+    last = latest_step(ckpt_dir)
+    raise SystemExit(
+        f"NaN/Inf in metrics {bad} at it {it}; resume from the last "
+        f"periodic checkpoint "
+        f"({'step ' + str(last) if last else 'none yet'}) "
+        f"with --resume after lowering the lr.")
+
+
 def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                   logger, model_dir, ckpt_dir, save_variables,
                   save_train_state, device_preprocess, jnp):
@@ -253,22 +264,7 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
             state, metrics, rng = trainer.train_step(state, db, rng)
             _LAST_STATE[0] = state
             if args.nan_check_every and it % args.nan_check_every == 0:
-                bad = [k for k, v in metrics.items()
-                       if not np.isfinite(float(v))]
-                if bad:
-                    # failure detection (SURVEY §5): stop loudly instead
-                    # of training garbage for hours. The poisoned state is
-                    # NOT saved (and the pre-step state was donated); the
-                    # last periodic orbax checkpoint is the resume point.
-                    from tgsr_tpu.checkpoints.orbax_io import latest_step
-                    _LAST_STATE[0] = None  # block the final-save path
-
-                    last = latest_step(ckpt_dir)
-                    raise SystemExit(
-                        f"NaN/Inf in metrics {bad} at it {it}; resume "
-                        f"from the last periodic checkpoint "
-                        f"({'step ' + str(last) if last else 'none yet'}) "
-                        f"with --resume after lowering the lr.")
+                _abort_if_nonfinite(metrics, it, ckpt_dir)
             ema_ms = timer.tick()
             if it % args.log_every == 0:
                 print(f"epoch {epoch} it {it}: " + " ".join(
@@ -278,6 +274,10 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
             it += 1
             if cfg.TRAIN.SNAPSHOT_INTERVAL and \
                     it % cfg.TRAIN.SNAPSHOT_INTERVAL == 0:
+                if args.nan_check_every:
+                    # never persist a poisoned state: the periodic check
+                    # above may be out of phase with the snapshot interval
+                    _abort_if_nonfinite(metrics, it, ckpt_dir)
                 # paired netG/netGH snapshots (trainer_objective.py:91-93)
                 save_variables(
                     os.path.join(model_dir, f"netG_it{it}.msgpack"),

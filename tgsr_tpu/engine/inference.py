@@ -115,29 +115,16 @@ class SRPipeline:
         text_seed: int = 100, **kw,
     ) -> "SRPipeline":
         """Mirrors the reference loading protocol: netGH path derived from
-        netG by name substitution (trainer_objective.py:91-93). The
-        converter family follows BRANCH_NUM like the model switch
-        (trainer_objective.py:74-88): ==4 -> model.py converters, else
-        models16 (no upstream x16 checkpoint exists today, but the path
-        is live for user-trained ones from cli.train_gan)."""
+        netG by name substitution, converter family by BRANCH_NUM
+        (load_generator_pair = trainer_objective.py:74-93; no upstream
+        x16 checkpoint exists today, but the path is live for
+        user-trained ones from cli.train_gan)."""
         from tgsr_tpu.checkpoints.convert_torch import (
-            convert_netg_low, convert_netg_low16, convert_netgh_weight,
-            convert_netgh_weight16, convert_text_encoder,
-            load_torch_state_dict,
+            convert_text_encoder, load_generator_pair, load_torch_state_dict,
         )
 
-        if netgh_path is None:
-            netgh_path = netg_path.replace("netG", "netGH")
-        if cfg.TREE.BRANCH_NUM == 4:
-            netg_vars = convert_netg_low(load_torch_state_dict(netg_path),
-                                         n_stages=cfg.n_stages)
-            netgh_vars = convert_netgh_weight(
-                load_torch_state_dict(netgh_path))
-        else:
-            netg_vars = convert_netg_low16(load_torch_state_dict(netg_path))
-            netgh_vars = convert_netgh_weight16(
-                load_torch_state_dict(netgh_path),
-                weightmap=cfg.EVAL.WEIGHTMAP)
+        netg_vars, netgh_vars = load_generator_pair(cfg, netg_path,
+                                                    netgh_path)
         enc = TextEncoder(vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
                           rnn_type=cfg.RNN_TYPE)
         if text_encoder_path:
@@ -160,7 +147,8 @@ class SRPipeline:
 
     # -- deployment artifact ---------------------------------------------
 
-    def save_artifact(self, path: str, vocab=None) -> str:
+    def save_artifact(self, path: str, vocab=None,
+                      return_attn: Optional[bool] = None) -> str:
         """One-directory deployment bundle, so serving needs neither the
         reference .pth files nor a YAML: config.json (full schema dump),
         variables.msgpack (text+netg+netgh trees), quant_scales.json (if
@@ -189,16 +177,22 @@ class SRPipeline:
             json.dump({
                 "vocab_size": self.text_encoder.vocab_size,
                 "compute_dtype": jnp.dtype(self.compute_dtype).name,
-                "return_attn": self.return_attn,
+                # a serving bundle should usually NOT carry return_attn:
+                # attention maps are wasted compute on the /sr hot path
+                "return_attn": self.return_attn if return_attn is None
+                else return_attn,
             }, f)
         return path
 
     @classmethod
     def load_artifact(cls, path: str, mesh: Optional[Mesh] = None,
-                      compute_dtype=None, **kw):
+                      compute_dtype=None, use_quant: Optional[bool] = None,
+                      **kw):
         """Rebuild a pipeline (and its vocab, if bundled) from
         `save_artifact`'s directory. Returns (pipeline, vocab-or-None).
-        `compute_dtype`/kw override the saved settings."""
+        `compute_dtype`/kw override the saved settings. `use_quant`:
+        None = as bundled; True = require bundled scales (ValueError if
+        absent); False = ignore bundled scales (full-precision path)."""
         import json
         import os
 
@@ -215,6 +209,11 @@ class SRPipeline:
         if os.path.exists(scales_path):
             with open(scales_path) as f:
                 scales = json.load(f)
+        if use_quant and scales is None:
+            raise ValueError(f"{path} has no quant_scales.json: re-save "
+                             "from an int8 pipeline or calibrate_quant()")
+        if use_quant is False:
+            scales = None
         vocab = None
         vocab_path = os.path.join(path, "vocab.json")
         if os.path.exists(vocab_path):
