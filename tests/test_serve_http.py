@@ -143,3 +143,10 @@ def test_http_native_mode(http_srv):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_serve_main_arg_validation():
+    from tgsr_tpu.cli.serve import main
+
+    with pytest.raises(SystemExit, match="artifact OR"):
+        main(["--cfg", "x.yml"])  # incomplete non-artifact spec
