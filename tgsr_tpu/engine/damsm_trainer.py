@@ -46,13 +46,22 @@ class DAMSMState(struct.PyTreeNode):
 class DAMSMTrainer:
     def __init__(self, cfg: Config, vocab_size: int,
                  use_inception: bool = True, freeze_backbone: bool = True,
-                 compute_dtype: jnp.dtype = jnp.float32):
+                 compute_dtype: jnp.dtype = jnp.float32,
+                 mesh=None):
         """`compute_dtype=bf16` runs the CNN encoder in bf16 (mixed
         precision: f32 master weights/losses/BN moments); the DAMSM losses
-        and the tiny bi-LSTM stay f32."""
+        and the tiny bi-LSTM stay f32.
+
+        `mesh`: optional jax.sharding.Mesh with a 'data' axis — the train/
+        eval/embed steps pin every batch leaf to it (DP). The DAMSM losses
+        compare every caption against every IMAGE in the global batch
+        (B x B score matrices, losses.py:21-136), so XLA inserts the
+        all-gathers; semantics are global-batch identical to single-device
+        (tests/test_damsm_sharding.py)."""
         self.cfg = cfg
         self.vocab_size = vocab_size
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
         self.freeze_backbone = freeze_backbone and use_inception
         self.text_encoder = TextEncoder(
             vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
@@ -134,6 +143,20 @@ class DAMSMTrainer:
         # eval mode never touches the running stats: return them untouched
         return feat.astype(jnp.float32), code.astype(jnp.float32), stats
 
+    def _shard_batch(self, batch):
+        """DP: pin every batch leaf to the mesh 'data' axis on dim 0 (no-op
+        without a mesh). Same contract as GANTrainer's step."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(
+                    self.mesh, P("data", *([None] * (x.ndim - 1))))),
+            batch,
+        )
+
     def _loss(self, params, stats, batch, train, dropout_rng=None):
         cfg = self.cfg
         feat, code, new_stats = self._apply_cnn(
@@ -157,6 +180,7 @@ class DAMSMTrainer:
         clip = self.grad_clip
 
         def step_fn(state: DAMSMState, batch, lr, rng):
+            batch = self._shard_batch(batch)
             params = {"text": state.text_params, "cnn": state.cnn_params}
             (loss, (metrics, new_stats, _)), grads = jax.value_and_grad(
                 self._loss, has_aux=True)(params, state.cnn_stats, batch,
@@ -183,6 +207,7 @@ class DAMSMTrainer:
 
     def _build_eval_step(self):
         def eval_fn(state: DAMSMState, batch):
+            batch = self._shard_batch(batch)
             params = {"text": state.text_params, "cnn": state.cnn_params}
             _, (metrics, _, attn) = self._loss(params, state.cnn_stats,
                                                batch, False)
@@ -197,6 +222,7 @@ class DAMSMTrainer:
             [N,E]) — the inputs of engine.evaluator.rank_r_precision and
             of any retrieval consumer (TextSRGTDataset use-case,
             datasets.py:1721-1885)."""
+            batch = self._shard_batch(batch)
             params = {"text": state.text_params, "cnn": state.cnn_params}
             feat, code, _ = self._apply_cnn(
                 params["cnn"], state.cnn_stats, batch["imgs"], train=False)
