@@ -104,6 +104,15 @@ def main():
     p.add_argument("--x16", action="store_true")
     p.add_argument("--bm", default=None,
                    help="B,M override (defaults: 768,64 x8 / 192,16 x16)")
+    p.add_argument("--res", action="store_true",
+                   help="A/B the ResBlock/_ResidualSeq conv1 split "
+                        "(SPLIT_RES_GLU_SITES) instead; both variants keep "
+                        "the shipped UpBlock split")
+    p.add_argument("--res-set", default="all",
+                   choices=["sub", "all"],
+                   help="res-split site set: all (= the shipped "
+                        "SPLIT_RES_GLU_SITES, incl. 32px blocks; measured "
+                        "4662 img/s) or sub (64/128px only; 4607)")
     args = p.parse_args()
 
     ref = "/root/reference"
@@ -145,11 +154,25 @@ def main():
         .astype(np.float32))
 
     shipped = quant.SPLIT_GLU_INT8_CONSUMERS
+    res_64_128 = frozenset({
+        "h_net2/residual_0", "h_net2/residual_1",
+        "h_net3/residual_0", "h_net3/residual_1",
+        "residual24", "residual48",
+    })
+    res_sites = res_64_128 if args.res_set == "sub" \
+        else quant.SPLIT_RES_GLU_SITES
 
     def build(split):
-        quant_split = shipped if split else frozenset()
+        if args.res:
+            quant_split, res_split = shipped, (res_sites if split
+                                               else frozenset())
+        else:
+            quant_split, res_split = (shipped if split else frozenset(),
+                                      frozenset())
         saved = quant.SPLIT_GLU_INT8_CONSUMERS
+        saved_res = quant.SPLIT_RES_GLU_SITES
         quant.SPLIT_GLU_INT8_CONSUMERS = quant_split
+        quant.SPLIT_RES_GLU_SITES = res_split
         try:
             pipe = make_pipe()
             scan, _ = pipe.checksum_fns()
@@ -158,6 +181,7 @@ def main():
             return pipe, scan
         finally:
             quant.SPLIT_GLU_INT8_CONSUMERS = saved
+            quant.SPLIT_RES_GLU_SITES = saved_res
 
     print("tracing split variant...", flush=True)
     pipe_a, scan_a = build(True)

@@ -204,3 +204,58 @@ def test_quantized_pipeline_fidelity_real_checkpoints():
     psnr = 20 * np.log10(255.0 / np.sqrt(max(mse, 1e-12)))
     # measured ~40+ dB; 30 dB is the regression floor (visually identical)
     assert psnr > 30.0, f"int8-vs-f32 PSNR {psnr:.2f} dB"
+
+
+def test_split_res_glu_matches_unsplit():
+    """SPLIT_RES_GLU_SITES: the whole-block value/gate split for
+    ResBlock/_ResidualSeq is the same int8 arithmetic as the per-conv
+    path; only the BN evaluation order differs (folded f32 affine in the
+    split handler vs flax eval BN), so the two agree to f32 roundoff.
+    The identity skip (ResBlock) / no-skip (_ResidualSeq) semantics and
+    the inert-entry contract are pinned exactly."""
+    from tgsr_tpu.models.generator_hf import _ResidualSeq
+    from tgsr_tpu.ops.blocks import ResBlock
+
+    for cls, kw in ((ResBlock, dict(features=8)),
+                    (ResBlock, dict(features=8, use_bn=False)),
+                    (_ResidualSeq, dict(ngf=8))):
+        blk = cls(**kw)
+        x = jnp.asarray(RNG.randn(2, 6, 6, 8).astype(np.float32))
+        v = blk.init(jax.random.PRNGKey(5), x)
+        if "batch_stats" in v:
+            for bn in v["batch_stats"]:
+                v["batch_stats"][bn]["mean"] = jnp.asarray(
+                    RNG.randn(*v["batch_stats"][bn]["mean"].shape)
+                    .astype(np.float32) * 0.1)
+                v["batch_stats"][bn]["var"] = jnp.asarray(
+                    RNG.rand(*v["batch_stats"][bn]["var"].shape)
+                    .astype(np.float32) + 0.5)
+        scales = {"conv1": float(np.abs(np.asarray(x)).max())}
+        # conv2's input scale: run the unsplit path once to calibrate
+        with nn.intercept_methods(quant_interceptor(scales)):
+            mid = blk.apply(v, x)
+        scales["conv2"] = float(np.abs(np.asarray(mid)).max()) + 1.0
+
+        with nn.intercept_methods(quant_interceptor(scales)):
+            y_plain = blk.apply(v, x)
+        with nn.intercept_methods(quant_interceptor(
+                scales, split_res=frozenset({""}))):
+            y_split = blk.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_plain),
+                                   rtol=2e-5, atol=2e-5)
+
+        # sites not opted in are bit-identical to the per-conv path
+        with nn.intercept_methods(quant_interceptor(
+                scales, split_res=frozenset({"not/this/block"}))):
+            y_other = blk.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(y_other),
+                                      np.asarray(y_plain))
+
+        # train=True bypasses the split handler (and quantization stays
+        # per-conv semantics untouched by split_res)
+        out_t1 = blk.apply(v, x, True, mutable=["batch_stats"])
+        with nn.intercept_methods(quant_interceptor(
+                {}, split_res=frozenset({""}))):
+            out_t2 = blk.apply(v, x, True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(out_t1[0]),
+                                      np.asarray(out_t2[0]))

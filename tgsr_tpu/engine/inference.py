@@ -245,10 +245,12 @@ class SRPipeline:
         from flax import linen as nn
 
         from tgsr_tpu.engine.quant import (SPLIT_GLU_INT8_CONSUMERS,
+                                           SPLIT_RES_GLU_SITES,
                                            quant_interceptor)
 
         return nn.intercept_methods(quant_interceptor(
-            scales, split_glu=SPLIT_GLU_INT8_CONSUMERS))
+            scales, split_glu=SPLIT_GLU_INT8_CONSUMERS,
+            split_res=SPLIT_RES_GLU_SITES))
 
     def _lr_blur(self, lr_c):
         """Blurred LR for the HF branch (= prepare_datablur's LRimb,

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tgsr_tpu.ops.blocks import UpBlock, glu, upsample_nearest2x
+from tgsr_tpu.models.generator_hf import _ResidualSeq
+from tgsr_tpu.ops.blocks import ResBlock, UpBlock, glu, upsample_nearest2x
 
 QMAX = 127.0
 
@@ -48,6 +49,30 @@ SPLIT_GLU_INT8_CONSUMERS = frozenset({
     "h_net1/upsample/conv", "h_net2/upsample/conv",
     "upscale2x/conv", "upscale4x/conv",
 })
+
+# ResBlock/_ResidualSeq module paths whose conv1 gets the same value/gate
+# split: inside these blocks the GLU output is ALWAYS requantized by the
+# block's own int8 conv2, i.e. every site pays the standalone
+# GLU+requantize pass that two separate buffers run 2.6x faster
+# (docs/PERF.md "Serving design-space closure"). Measured e2e
+# (examples/split_glu_ab.py --res, v5e, B=768 x M=64): the 64/128px
+# sites alone win 4607 vs 4007 img/s (+15.0%); adding the 32px blocks
+# wins further (4662, +16.2%) — unlike the UpBlock case there is no
+# bf16-head consumer anywhere in this family, so EVERY site pays the
+# slow half-read pass and every split is profit. Keys match the
+# calibrated-scales paths, so entries absent from a family are inert.
+SPLIT_RES_GLU_SITES = frozenset(
+    {
+        # GSRNetLow: per-stage resblocks (32/64/128px)
+        "h_net1/residual_0", "h_net1/residual_1",
+        "h_net2/residual_0", "h_net2/residual_1",
+        "h_net3/residual_0", "h_net3/residual_1",
+        # NetGHighWeight: the 6 LR-resolution resblocks + the two
+        # residual sequences (64/128px)
+        "residual24", "residual48",
+    }
+    | {f"residual_{i}" for i in range(6)}
+)
 
 
 def quantize_kernel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -113,6 +138,58 @@ def _eligible(mod, method_name: str) -> Optional[str]:
     return None
 
 
+def _bn_affine(p: Dict[str, jax.Array], s: Dict[str, jax.Array]
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Eval-mode BatchNorm folded to a per-channel (mul, add) affine in
+    f32 (eps 1e-5, matching ops.blocks.batch_norm)."""
+    mul = p["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        s["var"].astype(jnp.float32) + 1e-5)
+    add = p["bias"].astype(jnp.float32) - s["mean"].astype(jnp.float32) * mul
+    return mul, add
+
+
+def _res_block_split(mod, x, scales: Dict[str, float]):
+    """conv1 -> [BN1] -> GLU -> conv2 -> [BN2] [+ identity] with conv1
+    split into its GLU value/gate halves as two int8 convs.
+
+    Numerically this is the single int8 conv1 sliced in two (weight
+    quantization is per-output-channel and the conv is output-channel-
+    separable), but the value and gate arrive as SEPARATE buffers, so the
+    GLU combine + conv2 requantize avoids XLA's slow lowering of two
+    channel-half reads of one buffer (docs/PERF.md "GLU+requantize pass").
+    BN runs as the folded f32 affine (same as the UpBlock branch)."""
+    k1 = _conv_key(tuple(mod.path) + ("conv1",))
+    k2 = _conv_key(tuple(mod.path) + ("conv2",))
+    p = mod.variables["params"]
+    use_bn = getattr(mod, "use_bn", True)
+    xq, x_step = quantize_act(x, scales[k1])
+    wq, w_step = quantize_kernel(p["conv1"]["kernel"])
+    if use_bn:
+        mul1, add1 = _bn_affine(p["bn1"], mod.variables["batch_stats"]["bn1"])
+
+    def seg(lo, hi):
+        y = jax.lax.conv_general_dilated(
+            xq, wq[..., lo:hi], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (x_step * w_step[lo:hi])
+        if use_bn:
+            y = y * mul1[lo:hi] + add1[lo:hi]
+        return y.astype(x.dtype)
+
+    c = wq.shape[-1] // 2
+    h = seg(0, c) * jax.nn.sigmoid(seg(c, 2 * c))
+    y = quant_conv(h, p["conv2"]["kernel"], scales[k2],
+                   out_dtype=jnp.float32)
+    if use_bn:
+        mul2, add2 = _bn_affine(p["bn2"], mod.variables["batch_stats"]["bn2"])
+        y = y * mul2 + add2
+    y = y.astype(x.dtype)
+    # ResBlock has the identity skip; _ResidualSeq does not (model.py:229-232)
+    return y + x if isinstance(mod, ResBlock) else y
+
+
 def calib_interceptor(records: Dict[str, jax.Array]) -> Callable:
     """Interceptor recording per-conv input absmax into `records` (traced
     scalars; return them from the surrounding jit to fetch)."""
@@ -130,7 +207,8 @@ def calib_interceptor(records: Dict[str, jax.Array]) -> Callable:
 
 def quant_interceptor(scales: Dict[str, float],
                       out_dtype=jnp.bfloat16,
-                      split_glu: Optional[frozenset] = None) -> Callable:
+                      split_glu: Optional[frozenset] = None,
+                      split_res: Optional[frozenset] = None) -> Callable:
     """Interceptor substituting int8 convs for every nn.Conv / UpBlock whose
     path has a calibrated scale. Paths absent from `scales` run unquantized
     (the mechanism for keeping e.g. image heads in bf16).
@@ -148,6 +226,19 @@ def quant_interceptor(scales: Dict[str, float],
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
+        # Whole-block value/gate split for ResBlock/_ResidualSeq sites
+        # (see _res_block_split). Falls through to the per-conv path when
+        # the site is not opted in or scales are missing.
+        if (split_res and isinstance(mod, (ResBlock, _ResidualSeq))
+                and context.method_name == "__call__"
+                and not mod.is_initializing()):
+            base = _conv_key(mod.path)
+            train = kwargs.get("train",
+                               args[1] if len(args) > 1 else False)
+            if (base in split_res and not train
+                    and _conv_key(tuple(mod.path) + ("conv1",)) in scales
+                    and _conv_key(tuple(mod.path) + ("conv2",)) in scales):
+                return _res_block_split(mod, args[0], scales)
         key = _eligible(mod, context.method_name)
         if key is None or key not in scales:
             return next_fun(*args, **kwargs)
