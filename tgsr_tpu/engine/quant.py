@@ -67,9 +67,10 @@ SPLIT_RES_GLU_SITES = frozenset(
         "h_net1/residual_0", "h_net1/residual_1",
         "h_net2/residual_0", "h_net2/residual_1",
         "h_net3/residual_0", "h_net3/residual_1",
-        # NetGHighWeight: the 6 LR-resolution resblocks + the two
-        # residual sequences (64/128px)
-        "residual24", "residual48",
+        # NetGHighWeight: the 6 LR-resolution resblocks + the residual
+        # sequences (64/128px; residual816 exists only in the x16
+        # fix_bugs=True variant and is inert otherwise)
+        "residual24", "residual48", "residual816",
     }
     | {f"residual_{i}" for i in range(6)}
 )
