@@ -309,9 +309,16 @@ class DAMSMTrainer:
             imgs = preprocess(batch["hr"])
         else:
             imgs = batch["hr"].astype(np.float32) / 127.5 - 1.0
-        return {
+        out = {
             "imgs": jnp.asarray(imgs),
             "captions": jnp.asarray(batch["captions"]),
             "cap_lens": jnp.asarray(batch["cap_lens"]),
             "class_ids": jnp.asarray(batch["class_ids"]),
         }
+        if self.mesh is not None:
+            # place host batches directly in their DP layout so the step's
+            # with_sharding_constraint is a no-op instead of a reshard
+            from tgsr_tpu.parallel.mesh import shard_batch
+
+            out = shard_batch(out, self.mesh)
+        return out
