@@ -6,7 +6,9 @@ Captures a jax.profiler trace of the bench's scan-of-microbatches program
 tensorboard_plugin_profile into an HLO-op self-time table — the data
 behind docs/PERF.md's "where the time goes".
 
-Usage: python examples/profile_inference.py [B] [M] [iters]
+Usage: python examples/profile_inference.py [B] [M] [iters] [int8]
+(`int8` anywhere in argv profiles the quantized serving config instead —
+shipped face_S8 scales, bf16 heads, value/gate splits.)
 """
 
 import glob
@@ -21,9 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    M = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = [a for a in sys.argv[1:] if a != "int8"]
+    int8 = "int8" in sys.argv[1:]
+    B = int(args[0]) if len(args) > 0 else 512
+    M = int(args[1]) if len(args) > 1 else 2
+    iters = int(args[2]) if len(args) > 2 else 2
 
     import jax
     import jax.numpy as jnp
@@ -49,10 +53,15 @@ def main():
         tok[i, :L] = c[:L]
         lens[i] = L
 
+    scales = None
+    if int8:
+        from tgsr_tpu.engine import quant
+
+        scales = quant.face_s8_scales()
     pipe = SRPipeline.from_reference_checkpoints(
         cfg, vocab,
         os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
-        compute_dtype=jnp.bfloat16)
+        compute_dtype=jnp.bfloat16, quant_scales=scales)
 
     scan_checksum, _ = pipe.checksum_fns()
 

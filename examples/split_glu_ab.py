@@ -40,13 +40,13 @@ def build_face_s8():
     with open(os.path.join(ref, "data/face/testset.pickle"), "rb") as f:
         caps, ixtoword, _ = pickle.load(f)
     vocab = len(ixtoword)
-    scales = quant.face_s8_scales()
 
-    def make():
+    def make(heads=False):
         return SRPipeline.from_reference_checkpoints(
             cfg, vocab,
             os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
-            compute_dtype=jnp.bfloat16, quant_scales=scales)
+            compute_dtype=jnp.bfloat16,
+            quant_scales=quant.face_s8_scales(heads=heads))
 
     return cfg, make, 32
 
@@ -84,11 +84,10 @@ def build_x16():
     netgh = NetGHighWeight16(ngf=32, low="lr",
                              sizes=tuple(cfg.pyramid_sizes()))
     ghv = netgh.init(k, lr0, fake, lr0)
-    scales = quant.x16_scales()  # heads dropped by default
-
-    def make():
+    def make(heads=False):
         return SRPipeline(cfg, vocab, tv, gv, ghv,
-                          compute_dtype=jnp.bfloat16, quant_scales=scales)
+                          compute_dtype=jnp.bfloat16,
+                          quant_scales=quant.x16_scales(heads=heads))
 
     return cfg, make, 32
 
@@ -108,6 +107,15 @@ def main():
                    help="A/B the ResBlock/_ResidualSeq conv1 split "
                         "(SPLIT_RES_GLU_SITES) instead; both variants keep "
                         "the shipped UpBlock split")
+    p.add_argument("--heads", action="store_true",
+                   help="A/B int8 image heads + head-feeding UpBlock "
+                        "splits (h_net3/upsample, upscale8x) against the "
+                        "shipped bf16-heads config. With the producer "
+                        "UpBlocks split, the standalone GLU+requantize "
+                        "pass that made int8 heads lose in round 2 no "
+                        "longer exists — and the profile shows the bf16 "
+                        "heads reading their 256px inputs at only "
+                        "~300-390 GiB/s (22%% of device time)")
     p.add_argument("--res-set", default="all",
                    choices=["sub", "all"],
                    help="res-split site set: all (= the shipped "
@@ -162,8 +170,18 @@ def main():
     res_sites = res_64_128 if args.res_set == "sub" \
         else quant.SPLIT_RES_GLU_SITES
 
+    heads_split = shipped | frozenset(
+        {"h_net3/upsample/conv", "upscale8x/conv", "upscale16x/conv"})
+
     def build(split):
-        if args.res:
+        heads = False
+        if args.heads:
+            # treatment: int8 heads + their producer UpBlocks split;
+            # control: the shipped config exactly
+            heads = split
+            quant_split = heads_split if split else shipped
+            res_split = quant.SPLIT_RES_GLU_SITES
+        elif args.res:
             quant_split, res_split = shipped, (res_sites if split
                                                else frozenset())
         else:
@@ -174,7 +192,7 @@ def main():
         quant.SPLIT_GLU_INT8_CONSUMERS = quant_split
         quant.SPLIT_RES_GLU_SITES = res_split
         try:
-            pipe = make_pipe()
+            pipe = make_pipe(heads=heads)
             scan, _ = pipe.checksum_fns()
             # trace now, while the monkeypatch is live
             float(scan(pipe.variables, lrB, tokB, lensB, 0.0))

@@ -54,7 +54,7 @@ def main():
 
     from tgsr_tpu.config import Config
     from tgsr_tpu.engine.inference import SRPipeline
-    from tgsr_tpu.engine.quant import drop_head_scales, merge_scales
+    from tgsr_tpu.engine.quant import merge_scales
     from tgsr_tpu.models.models16 import GSRNetLow16, NetGHighWeight16
     from tgsr_tpu.models.text_encoder import TextEncoder
 
@@ -118,11 +118,11 @@ def main():
     print(f"calibrated {sum(len(v) for v in scales.values())} conv scales "
           f"in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    # --- fidelity gate: int8 (bf16 heads) vs f32 on the real image
-    # (the artifact save below is CONDITIONED on this gate) ---
+    # --- fidelity gate: int8 (incl. heads — the shipped default) vs f32
+    # on the real image (the artifact save below is CONDITIONED on it) ---
     pipe_int8 = SRPipeline(cfg, vocab, tv, gv, ghv,
                            compute_dtype=jnp.bfloat16,
-                           quant_scales=drop_head_scales(scales))
+                           quant_scales=scales)
     pipe_bf16 = SRPipeline(cfg, vocab, tv, gv, ghv,
                            compute_dtype=jnp.bfloat16)
     out_f32 = np.asarray(pipe_f32(lr_a[:2], caps_a[:2], lens_a[:2])["sr"],

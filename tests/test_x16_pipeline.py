@@ -158,16 +158,19 @@ def test_x16_int8_quant_path():
 
 def test_x16_shipped_scales_artifact():
     """The shipped x16 calibration artifact (examples/x16_bench.py) loads,
-    covers both generators, and the default accessor strips image heads."""
+    covers both generators incl. the image heads (the shipped default —
+    int8 heads measure faster once the producer GLU splits apply), and
+    heads=False still strips them for the bf16-head mode."""
     from tgsr_tpu.engine.quant import x16_scales
 
-    full = x16_scales(heads=True)
+    full = x16_scales()
     assert set(full) == {"netg", "netgh"}
     n = sum(len(v) for v in full.values())
     assert n == 33, n
     assert all(v > 0 for d in full.values() for v in d.values())
-
-    default = x16_scales()
     assert any("img_net" in k for k in full["netg"])
-    assert not any("img_net" in k for k in default["netg"])
-    assert not any("conv_output" in k for k in default["netgh"])
+    assert any("conv_output" in k for k in full["netgh"])
+
+    bf16_heads = x16_scales(heads=False)
+    assert not any("img_net" in k for k in bf16_heads["netg"])
+    assert not any("conv_output" in k for k in bf16_heads["netgh"])

@@ -200,10 +200,10 @@ def main(argv=None):
         cal_lr = jax.jit(lambda h: resize(
             normalize_uint8(h), (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE),
             "bilinear"))(jnp.asarray(cal["hr"]))
-        from tgsr_tpu.engine.quant import drop_head_scales
-
-        scales = drop_head_scales(pipe.calibrate_quant(
-            cal_lr, cal["captions"], cal["cap_lens"]))
+        # full scales incl. image heads (the shipped default: int8 heads
+        # measure faster once the producer GLU splits apply; engine/quant.py)
+        scales = pipe.calibrate_quant(cal_lr, cal["captions"],
+                                      cal["cap_lens"])
         pipe = SRPipeline(
             cfg, ds.n_words, pipe.variables["text"], pipe.variables["netg"],
             pipe.variables["netgh"],

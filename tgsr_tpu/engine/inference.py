@@ -244,12 +244,12 @@ class SRPipeline:
             return contextlib.nullcontext()
         from flax import linen as nn
 
-        from tgsr_tpu.engine.quant import (SPLIT_GLU_INT8_CONSUMERS,
-                                           SPLIT_RES_GLU_SITES,
+        from tgsr_tpu.engine.quant import (SPLIT_RES_GLU_SITES,
+                                           effective_split_glu,
                                            quant_interceptor)
 
         return nn.intercept_methods(quant_interceptor(
-            scales, split_glu=SPLIT_GLU_INT8_CONSUMERS,
+            scales, split_glu=effective_split_glu(scales),
             split_res=SPLIT_RES_GLU_SITES))
 
     def _lr_blur(self, lr_c):

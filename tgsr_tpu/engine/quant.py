@@ -50,6 +50,30 @@ SPLIT_GLU_INT8_CONSUMERS = frozenset({
     "upscale2x/conv", "upscale4x/conv",
 })
 
+# UpBlocks whose GLU output feeds (an) image head(s). With bf16 heads the
+# GLU is a free conv-input fusion there and splitting regresses (round-2/3
+# measurements); when the heads themselves run int8 these consumers become
+# int8 convs and the split pays. `effective_split_glu` applies them
+# conditionally on the scales dict actually containing head entries.
+HEAD_FEEDING_UPBLOCKS = frozenset({
+    "h_net3/upsample/conv", "upscale8x/conv", "upscale16x/conv",
+})
+
+
+def heads_quantized(scales: Dict[str, float]) -> bool:
+    """True when the scales dict quantizes the image heads."""
+    return any("img_net" in k or "conv_output" in k for k in scales)
+
+
+def effective_split_glu(scales: Dict[str, float]) -> frozenset:
+    """The UpBlock split set for a given scales dict: the always-on
+    int8-consumer sites, plus the head-feeding sites iff the heads are
+    quantized (measured +3.6% e2e with int8 heads, regression with bf16
+    heads — docs/PERF.md "Int8 image heads")."""
+    if heads_quantized(scales):
+        return SPLIT_GLU_INT8_CONSUMERS | HEAD_FEEDING_UPBLOCKS
+    return SPLIT_GLU_INT8_CONSUMERS
+
 # ResBlock/_ResidualSeq module paths whose conv1 gets the same value/gate
 # split: inside these blocks the GLU output is ALWAYS requantized by the
 # block's own int8 conv2, i.e. every site pays the standalone
@@ -335,11 +359,14 @@ def drop_head_scales(scales: Dict[str, Dict[str, float]]
     """Remove the image-head convs (img_net*/conv_output) from a scales
     dict so they run bf16.
 
-    Measured (docs/PERF.md): quantizing the heads LOSES -- their int8 form
-    forces a standalone GLU+requantize pass over each 256px feature tensor,
-    while a bf16 head reads the GLU as a free conv input fusion; and the
-    3-channel head conv is lane-underfill-bound either way. bf16 heads:
-    3905 vs 3812 img/s AND better fidelity (39.7 vs 38.9 dB vs bf16)."""
+    History: in round 2 bf16 heads measured FASTER (3905 vs 3812 img/s) --
+    int8 heads forced a standalone GLU+requantize pass over each 256px
+    feature tensor. Once the producer value/gate splits shipped
+    (SPLIT_RES_GLU_SITES + HEAD_FEEDING_UPBLOCKS) that pass became cheap
+    and the verdict FLIPPED: int8 heads read their 256px inputs at half
+    the bytes and win +3.6% (x8) / +12.7% (x16), so quantized heads are
+    now the default (docs/PERF.md "Int8 image heads"). This helper remains
+    for the higher-fidelity bf16-head mode (39.7 vs 38.9 dB vs bf16)."""
     return {g: {k: v for k, v in d.items()
                 if "img_net" not in k and "conv_output" not in k}
             for g, d in scales.items()}
@@ -357,17 +384,19 @@ def _load_shipped_scales(filename: str, heads: bool
     return scales if heads else drop_head_scales(scales)
 
 
-def face_s8_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
+def face_s8_scales(heads: bool = True) -> Dict[str, Dict[str, float]]:
     """Shipped calibration for the reference face_S8 checkpoints (margin
     1.1, noise-augmented face batch; see SRPipeline.calibrate_quant to
     regenerate). Keys: {"netg": {...}, "netgh": {...}}.
 
-    heads=False (default) leaves the image-head convs in bf16 -- the
-    faster AND higher-fidelity configuration (see drop_head_scales)."""
+    heads=True (default) quantizes the image heads too -- measured +3.6%
+    e2e now that the producer GLU splits ship (docs/PERF.md "Int8 image
+    heads"); heads=False is the higher-fidelity bf16-head mode (see
+    drop_head_scales)."""
     return _load_shipped_scales("face_s8_int8_scales.json", heads)
 
 
-def x16_scales(heads: bool = False) -> Dict[str, Dict[str, float]]:
+def x16_scales(heads: bool = True) -> Dict[str, Dict[str, float]]:
     """Shipped calibration for the x16 family (GSRNetLow16 +
     NetGHighWeight16, BRANCH_NUM=5). NOTE: the reference ships no x16
     checkpoint (models16.py is code-only), so these scales are calibrated
