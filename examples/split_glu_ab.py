@@ -116,6 +116,13 @@ def main():
                         "longer exists — and the profile shows the bf16 "
                         "heads reading their 256px inputs at only "
                         "~300-390 GiB/s (22%% of device time)")
+    p.add_argument("--fusedup", default=None,
+                   help="A/B the algebraic int8 upsample-conv fusion "
+                        "(quant.FUSED_UP_SITES) against the shipped "
+                        "config. Value: comma-separated site keys, or "
+                        "'all' (= every quantized UpBlock), or 'big' "
+                        "(= the two 256px sites with materialized s8 "
+                        "broadcasts: h_net3/upsample, upscale8x)")
     p.add_argument("--res-set", default="all",
                    choices=["sub", "all"],
                    help="res-split site set: all (= the shipped "
@@ -173,8 +180,33 @@ def main():
     heads_split = shipped | frozenset(
         {"h_net3/upsample/conv", "upscale8x/conv", "upscale16x/conv"})
 
+    fused_sets = {
+        "all": frozenset({
+            "h_net1/upsample/conv", "h_net2/upsample/conv",
+            "h_net3/upsample/conv", "upscale2x/conv", "upscale4x/conv",
+            "upscale8x/conv", "upscale16x/conv"}),
+        "big": frozenset({"h_net3/upsample/conv", "upscale8x/conv",
+                          "upscale16x/conv"}),
+    }
+
     def build(split):
         heads = False
+        if args.fusedup:
+            # treatment: shipped config + fused upsample-conv at the chosen
+            # sites; control: the shipped config exactly
+            heads = True
+            fused = fused_sets.get(
+                args.fusedup, frozenset(args.fusedup.split(","))) \
+                if split else frozenset()
+            saved_f = quant.FUSED_UP_SITES
+            quant.FUSED_UP_SITES = fused
+            try:
+                pipe = make_pipe(heads=True)
+                scan, _ = pipe.checksum_fns()
+                float(scan(pipe.variables, lrB, tokB, lensB, 0.0))
+                return pipe, scan
+            finally:
+                quant.FUSED_UP_SITES = saved_f
         if args.heads:
             # treatment: int8 heads + their producer UpBlocks split;
             # control: the shipped config exactly

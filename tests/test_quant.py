@@ -155,6 +155,58 @@ def test_split_glu_upblock_bitexact():
     np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_other))
 
 
+def test_fused_up_int8_matches_float():
+    """The algebraic int8 upsample-conv fusion (FUSED_UP_SITES, opt-in; a
+    measured e2e NEGATIVE kept as infrastructure — docs/PERF.md "Int8
+    fused upsample-conv") approximates the f32 UpBlock with the same
+    error magnitude as the unfused int8 path, and its pre-quantized
+    depth_to_space variant produces BIT-IDENTICAL int8 codes at the
+    consumer's quantization."""
+    from tgsr_tpu.engine import quant as quant_mod
+
+    blk = UpBlock(8, use_bn=True)
+    x = jnp.asarray(RNG.randn(2, 6, 6, 8).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(5), x)
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    v["batch_stats"]["bn"]["mean"] = jnp.asarray(
+        RNG.randn(16).astype(np.float32) * 0.1)
+    v["batch_stats"]["bn"]["var"] = jnp.asarray(
+        RNG.rand(16).astype(np.float32) + 0.5)
+
+    y_ref = blk.apply(v, x)
+    scale = float(np.abs(np.asarray(x)).max())
+    with nn.intercept_methods(quant_interceptor({"conv": scale})):
+        y_unfused = blk.apply(v, x)
+    with nn.intercept_methods(quant_interceptor(
+            {"conv": scale}, fused_up=frozenset({"conv"}))):
+        y_fused = blk.apply(v, x)
+    assert y_fused.shape == y_ref.shape
+
+    def rel(a):
+        return np.abs(np.asarray(a, np.float32) - np.asarray(y_ref)).max() \
+            / (np.abs(np.asarray(y_ref)).max() + 1e-9)
+
+    # fused quantizes the TRANSFORMED kernel (per phase x channel): same
+    # error magnitude as the unfused int8 path, not bit-equality
+    assert rel(y_fused) < max(2.5 * rel(y_unfused), 0.05), \
+        (rel(y_fused), rel(y_unfused))
+
+    # pre-quantized int8 depth_to_space: consumer requantization of the
+    # (dequantized) output is an exact round trip
+    out_scale = float(np.abs(np.asarray(y_fused)).max()) * 1.05
+    quant_mod.FUSED_UP_OUT_CONSUMER["conv"] = "consumer"
+    try:
+        with nn.intercept_methods(quant_interceptor(
+                {"conv": scale, "consumer": out_scale},
+                fused_up=frozenset({"conv"}))):
+            y_fq = blk.apply(v, x)
+    finally:
+        del quant_mod.FUSED_UP_OUT_CONSUMER["conv"]
+    q1, _ = quant_mod.quantize_act(y_fq.astype(jnp.float32), out_scale)
+    q2, _ = quant_mod.quantize_act(y_fused.astype(jnp.float32), out_scale)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+
+
 def test_merge_scales():
     assert merge_scales({"a": 1.0, "b": 3.0}, {"a": 2.0, "c": 1.0}) == \
         {"a": 2.0, "b": 3.0, "c": 1.0}

@@ -244,13 +244,14 @@ class SRPipeline:
             return contextlib.nullcontext()
         from flax import linen as nn
 
-        from tgsr_tpu.engine.quant import (SPLIT_RES_GLU_SITES,
+        from tgsr_tpu.engine.quant import (FUSED_UP_SITES,
+                                           SPLIT_RES_GLU_SITES,
                                            effective_split_glu,
                                            quant_interceptor)
 
         return nn.intercept_methods(quant_interceptor(
             scales, split_glu=effective_split_glu(scales),
-            split_res=SPLIT_RES_GLU_SITES))
+            split_res=SPLIT_RES_GLU_SITES, fused_up=FUSED_UP_SITES))
 
     def _lr_blur(self, lr_c):
         """Blurred LR for the HF branch (= prepare_datablur's LRimb,

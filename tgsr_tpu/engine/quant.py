@@ -74,6 +74,30 @@ def effective_split_glu(scales: Dict[str, float]) -> frozenset:
         return SPLIT_GLU_INT8_CONSUMERS | HEAD_FEEDING_UPBLOCKS
     return SPLIT_GLU_INT8_CONSUMERS
 
+# Quantized UpBlock sites computed as the ALGEBRAIC upsample-conv fusion
+# (ops/fused_upsample.py): one 2x2 int8 conv at the SOURCE resolution
+# producing the 4 parity classes, packed BN+GLU, depth_to_space. In bf16
+# this formulation measured SLOWER (XLA fuses the nearest-up2 broadcast
+# into a bf16 conv for free -- docs/PERF.md "Negative results"), but the
+# TPU conv emitter does NOT fuse an s8 broadcast: the int8 path
+# materializes every upsampled activation (3 GiB + 1.5 GiB per B=768
+# microbatch at the two 256px sites alone, 6.7% of device time standing
+# broadcasts in the round-3 profile), so the trade flips and is
+# re-measured per site in the int8 regime (examples/split_glu_ab.py
+# --fusedup).
+FUSED_UP_SITES = frozenset()
+
+# Sites whose GLU output feeds exactly ONE int8 conv (the image heads read
+# the final UpBlocks directly): the fused path may pre-quantize with the
+# consumer's input scale and depth_to_space in int8 (1 byte moved instead
+# of 2); the consumer's own quantize_act then round-trips bit-exactly
+# (round(round(x/s)*s/s) == round(x/s) on exactly-representable products).
+FUSED_UP_OUT_CONSUMER = {
+    "h_net3/upsample/conv": "img_net3/conv",
+    "upscale8x/conv": "conv_output/conv",
+    "upscale16x/conv": "conv_output/conv",
+}
+
 # ResBlock/_ResidualSeq module paths whose conv1 gets the same value/gate
 # split: inside these blocks the GLU output is ALWAYS requantized by the
 # block's own int8 conv2, i.e. every site pays the standalone
@@ -215,6 +239,62 @@ def _res_block_split(mod, x, scales: Dict[str, float]):
     return y + x if isinstance(mod, ResBlock) else y
 
 
+def _fused_up_int8(mod, x, key: str, scales: Dict[str, float],
+                   out_scale: Optional[float] = None) -> jax.Array:
+    """Quantized UpBlock via the algebraic upsample-conv fusion.
+
+    conv3x3(nearest_up2(x)) == depth_to_space(conv2x2_phases(x)): the 3x3
+    kernel collapses to a [2, 2, Cin, 4*Cout] parity-packed kernel at the
+    SOURCE resolution (ops/fused_upsample.py, parity derivation there), so
+    the s8 upsample broadcast that XLA materializes in the int8 path never
+    exists. Weight quantization happens on the TRANSFORMED kernel
+    (per phase x output channel -- finer granularity than the unfused
+    per-channel scale, same |error| bound), BN folds to the f32 affine
+    tiled across the 4 phases, GLU combines per phase in the packed
+    domain, and depth_to_space runs on the GLU output (int8 when
+    `out_scale` -- the single int8 consumer's calibrated input scale -- is
+    known, bf16 otherwise)."""
+    from tgsr_tpu.ops.fused_upsample import fuse_upconv_kernel_jnp
+
+    xq, x_step = quantize_act(x, scales[key])
+    w = mod.variables["params"]["conv"]["kernel"]
+    cout = w.shape[-1]
+    wq, w_step = quantize_kernel(fuse_upconv_kernel_jnp(
+        w.astype(jnp.float32)))
+    if mod.use_bn:
+        mul, add = _bn_affine(mod.variables["params"]["bn"],
+                              mod.variables["batch_stats"]["bn"])
+    c2 = cout // 2
+    # One VALID 2x2 conv PER PHASE with per-phase padding (phase (di, dj)
+    # reads source rows i-1+di..i+di => pad (1-di, di)): each conv's
+    # int32 output feeds straight into its own dequant+BN+GLU epilogue, so
+    # nothing int32 or pre-GLU ever materializes. (A single 4*Cout conv
+    # over a (1,1)-padded halo is fewer dispatches but its 4 offset
+    # slices block epilogue fusion -- XLA materializes the full
+    # s32[B,H+1,W+1,4*Cout] halo buffer, 13 GiB at the 256px site.)
+    hs = []
+    for ph, (di, dj) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        yp = jax.lax.conv_general_dilated(
+            xq, wq[..., ph * cout:(ph + 1) * cout], (1, 1),
+            [(1 - di, di), (1 - dj, dj)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )  # [B, H, W, Cout]
+        yp = yp.astype(jnp.float32) * (
+            x_step * w_step[ph * cout:(ph + 1) * cout])
+        if mod.use_bn:
+            yp = yp * mul + add
+        hs.append(yp[..., :c2] * jax.nn.sigmoid(yp[..., c2:]))
+    packed = jnp.concatenate(hs, axis=-1)  # [B, H, W, 4*(Cout//2)] f32
+    from tgsr_tpu.ops.blocks import depth_to_space
+
+    if out_scale is not None:
+        pq, p_step = quantize_act(packed, out_scale)
+        return (depth_to_space(pq, 2).astype(jnp.float32)
+                * p_step).astype(x.dtype)
+    return depth_to_space(packed.astype(x.dtype), 2)
+
+
 def calib_interceptor(records: Dict[str, jax.Array]) -> Callable:
     """Interceptor recording per-conv input absmax into `records` (traced
     scalars; return them from the surrounding jit to fetch)."""
@@ -233,7 +313,8 @@ def calib_interceptor(records: Dict[str, jax.Array]) -> Callable:
 def quant_interceptor(scales: Dict[str, float],
                       out_dtype=jnp.bfloat16,
                       split_glu: Optional[frozenset] = None,
-                      split_res: Optional[frozenset] = None) -> Callable:
+                      split_res: Optional[frozenset] = None,
+                      fused_up: Optional[frozenset] = None) -> Callable:
     """Interceptor substituting int8 convs for every nn.Conv / UpBlock whose
     path has a calibrated scale. Paths absent from `scales` run unquantized
     (the mechanism for keeping e.g. image heads in bf16).
@@ -295,6 +376,11 @@ def quant_interceptor(scales: Dict[str, float],
         train = kwargs.get("train", args[1] if len(args) > 1 else False)
         if train:
             return next_fun(*args, **kwargs)
+        if fused_up and key in fused_up:
+            out_key = FUSED_UP_OUT_CONSUMER.get(key)
+            return _fused_up_int8(
+                mod, x, key, scales,
+                out_scale=scales.get(out_key) if out_key else None)
         xq, x_step = quantize_act(x, scales[key])
         wq, w_step = quantize_kernel(mod.variables["params"]["conv"]["kernel"])
         up = upsample_nearest2x(xq)
