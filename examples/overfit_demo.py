@@ -110,6 +110,14 @@ def main():
                         "memorization-feasible configuration")
     p.add_argument("--g-lr-cosine", action="store_true",
                    help="cosine-decay G lr 2e-4 -> 2e-6 over --steps")
+    p.add_argument("--x16", action="store_true",
+                   help="overfit the x16 family (BRANCH_NUM=5, 32->512; "
+                        "GSRNetLow16 + NetGHighWeight16 -- the reference's "
+                        "default METHOD=S16) instead of x8")
+    p.add_argument("--remat", default=False,
+                   help="GANTrainer remat policy (False/all/low/high); the "
+                        "512px x16 backward OOMs without it at batch>=16 "
+                        "bf16 (docs/PERF.md 'x16 family TRAINING')")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "overfit"))
     args = p.parse_args()
@@ -134,7 +142,10 @@ def main():
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
-        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=4, BASE_SIZE=args.base),
+        METHOD="S16" if args.x16 else cfg.METHOD,
+        TREE=dataclasses.replace(cfg.TREE,
+                                 BRANCH_NUM=5 if args.x16 else 4,
+                                 BASE_SIZE=args.base),
         GAN=dataclasses.replace(cfg.GAN, GF_DIM=args.gf, DF_DIM=args.df),
         TRAIN=dataclasses.replace(cfg.TRAIN, BATCH_SIZE=args.batch,
                                   DISCRIMINATOR_LR=args.d_lr),
@@ -165,12 +176,15 @@ def main():
 
         g_lr = optax.cosine_decay_schedule(
             cfg.TRAIN.GENERATOR_LR, args.steps, alpha=0.01)
+    remat = args.remat
+    if isinstance(remat, str):
+        remat = False if remat.lower() == "false" else remat
     trainer = GANTrainer(
         cfg, vocab, text_vars,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         ema_decay=args.ema_decay,
         loss_weights={"adv": args.adv_weight},
-        g_lr=g_lr)
+        g_lr=g_lr, remat=remat)
 
     t0 = time.perf_counter()
     state = trainer.init_state(k, batch_size=B)
