@@ -178,7 +178,7 @@ def main():
             cfg.TRAIN.GENERATOR_LR, args.steps, alpha=0.01)
     remat = args.remat
     if isinstance(remat, str):
-        remat = False if remat.lower() == "false" else remat
+        remat = {"false": False, "true": True}.get(remat.lower(), remat)
     trainer = GANTrainer(
         cfg, vocab, text_vars,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

@@ -208,8 +208,9 @@ def main():
             finally:
                 quant.FUSED_UP_SITES = saved_f
         if args.heads:
-            # treatment: int8 heads + their producer UpBlocks split;
-            # control: the shipped config exactly
+            # treatment: int8 heads + their producer UpBlocks split (the
+            # shipped default since the round-3 flip); control: the legacy
+            # bf16-heads config (drop_head_scales equivalent)
             heads = split
             quant_split = heads_split if split else shipped
             res_split = quant.SPLIT_RES_GLU_SITES

@@ -98,3 +98,22 @@ def test_damsm_sharded_eval_and_embed_match():
     for a, b in zip(ref_emb, sh_emb):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_damsm_indivisible_host_batch_raises_early():
+    """A host batch whose leading dim does not divide the mesh data axis
+    must fail at batching time with an actionable message (the reference
+    trains with drop_last=True, pretrain_DAMSM.py:248), not deep inside
+    jax.device_put."""
+    import pytest
+
+    cfg, vocab, _ = _setup()
+    sh = DAMSMTrainer(cfg, vocab, use_inception=False, mesh=_mesh())
+    bad = {
+        "hr": np.zeros((6, 64, 64, 3), np.uint8),
+        "captions": np.zeros((6, cfg.TEXT.WORDS_NUM), np.int32),
+        "cap_lens": np.full((6,), 3, np.int32),
+        "class_ids": np.arange(6, dtype=np.int32),
+    }
+    with pytest.raises(ValueError, match="drop_last"):
+        sh._device_batch(bad, None)

@@ -148,12 +148,11 @@ class DAMSMTrainer:
         without a mesh). Same contract as GANTrainer's step."""
         if self.mesh is None:
             return batch
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tgsr_tpu.parallel.mesh import data_sharding
 
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
-                x, NamedSharding(
-                    self.mesh, P("data", *([None] * (x.ndim - 1))))),
+                x, data_sharding(self.mesh, x.ndim)),
             batch,
         )
 
@@ -320,5 +319,13 @@ class DAMSMTrainer:
             # with_sharding_constraint is a no-op instead of a reshard
             from tgsr_tpu.parallel.mesh import shard_batch
 
+            n_data = self.mesh.shape["data"]
+            b = out["captions"].shape[0]
+            if b % n_data:
+                raise ValueError(
+                    f"DP batch {b} does not divide the mesh data axis "
+                    f"({n_data}); use a drop_last loader (the reference "
+                    f"semantics, pretrain_DAMSM.py:248) or pad the host "
+                    f"batch with parallel.mesh.pad_to_multiple")
             out = shard_batch(out, self.mesh)
         return out

@@ -197,6 +197,25 @@ def _bn_affine(p: Dict[str, jax.Array], s: Dict[str, jax.Array]
     return mul, add
 
 
+def _int8_seg_fn(inp, x_step, wq, w_step, affine, out_dtype):
+    """Shared per-output-channel-slice segment primitive for the value/gate
+    split paths: int8 conv on `inp` restricted to kernel columns [lo, hi),
+    dequantized, with an optional folded-BN (mul, add) affine."""
+    def seg(lo, hi):
+        y = jax.lax.conv_general_dilated(
+            inp, wq[..., lo:hi], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (x_step * w_step[lo:hi])
+        if affine is not None:
+            mul, add = affine
+            y = y * mul[lo:hi] + add[lo:hi]
+        return y.astype(out_dtype)
+
+    return seg
+
+
 def _res_block_split(mod, x, scales: Dict[str, float]):
     """conv1 -> [BN1] -> GLU -> conv2 -> [BN2] [+ identity] with conv1
     split into its GLU value/gate halves as two int8 convs.
@@ -213,20 +232,9 @@ def _res_block_split(mod, x, scales: Dict[str, float]):
     use_bn = getattr(mod, "use_bn", True)
     xq, x_step = quantize_act(x, scales[k1])
     wq, w_step = quantize_kernel(p["conv1"]["kernel"])
-    if use_bn:
-        mul1, add1 = _bn_affine(p["bn1"], mod.variables["batch_stats"]["bn1"])
-
-    def seg(lo, hi):
-        y = jax.lax.conv_general_dilated(
-            xq, wq[..., lo:hi], (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        y = y.astype(jnp.float32) * (x_step * w_step[lo:hi])
-        if use_bn:
-            y = y * mul1[lo:hi] + add1[lo:hi]
-        return y.astype(x.dtype)
-
+    affine1 = (_bn_affine(p["bn1"], mod.variables["batch_stats"]["bn1"])
+               if use_bn else None)
+    seg = _int8_seg_fn(xq, x_step, wq, w_step, affine1, x.dtype)
     c = wq.shape[-1] // 2
     h = seg(0, c) * jax.nn.sigmoid(seg(c, 2 * c))
     y = quant_conv(h, p["conv2"]["kernel"], scales[k2],
@@ -384,25 +392,10 @@ def quant_interceptor(scales: Dict[str, float],
         xq, x_step = quantize_act(x, scales[key])
         wq, w_step = quantize_kernel(mod.variables["params"]["conv"]["kernel"])
         up = upsample_nearest2x(xq)
-        if mod.use_bn:
-            p = mod.variables["params"]["bn"]
-            s = mod.variables["batch_stats"]["bn"]
-            mul = p["scale"].astype(jnp.float32) * jax.lax.rsqrt(
-                s["var"].astype(jnp.float32) + 1e-5)
-            add = p["bias"].astype(jnp.float32) - \
-                s["mean"].astype(jnp.float32) * mul
-
-        def seg(lo, hi):
-            y = jax.lax.conv_general_dilated(
-                up, wq[..., lo:hi], (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
-            y = y.astype(jnp.float32) * (x_step * w_step[lo:hi])
-            if mod.use_bn:
-                y = y * mul[lo:hi] + add[lo:hi]
-            return y.astype(x.dtype)
-
+        affine = (_bn_affine(mod.variables["params"]["bn"],
+                             mod.variables["batch_stats"]["bn"])
+                  if mod.use_bn else None)
+        seg = _int8_seg_fn(up, x_step, wq, w_step, affine, x.dtype)
         n_out = wq.shape[-1]
         if split_glu and key in split_glu:
             c = n_out // 2
