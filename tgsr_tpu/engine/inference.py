@@ -104,6 +104,8 @@ class SRPipeline:
 
         self._forward = self._build_forward()
         self._forward_scan = None  # built lazily (compile cost)
+        self._forward_spatial = None  # built lazily by sr_spatial
+        self._spatial_mesh = None
 
     # -- construction helpers ------------------------------------------------
 
@@ -296,7 +298,9 @@ class SRPipeline:
         netgh_scales = calibrate(run_gh, lr_c, fake_imgs, margin=margin)
         return {"netg": netg_scales, "netgh": netgh_scales}
 
-    def _build_forward(self):
+    def _forward_fn(self):
+        """The un-jitted full forward closure; jitted by `_build_forward`
+        (batch path, optionally DP-sharded) and `sr_spatial` (row-sharded)."""
         cdt = self.compute_dtype
         return_attn = self.return_attn
 
@@ -325,6 +329,10 @@ class SRPipeline:
                 out["attn"] = [a.astype(jnp.float32) for a in att_maps]
             return out
 
+        return forward
+
+    def _build_forward(self):
+        forward = self._forward_fn()
         if self.mesh is not None:
             data = NamedSharding(self.mesh, P("data"))
             data4 = NamedSharding(self.mesh, P("data", None, None, None))
@@ -341,6 +349,41 @@ class SRPipeline:
                  cap_lens: jax.Array) -> Dict[str, Any]:
         return self._forward(self.variables, jnp.asarray(lr),
                              jnp.asarray(captions), jnp.asarray(cap_lens))
+
+    def sr_spatial(self, lr: jax.Array, captions: jax.Array,
+                   cap_lens: jax.Array,
+                   mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+        """Spatially-partitioned forward: shard the image HEIGHT axis over
+        the mesh 'data' axis (SP).
+
+        DP (`shard_batch` + `__call__`) scales THROUGHPUT; this scales the
+        LATENCY of one (or a few) large images across chips: with the input
+        rows split over N devices, XLA's SPMD partitioner runs every conv
+        on its row shard and inserts the halo exchanges the 3x3 receptive
+        fields need over ICI; globally-coupled ops (pixel-axis attention,
+        the text path, CA_NET) gather/replicate as sharding propagation
+        demands. No manual collectives — the annotate-and-let-XLA-partition
+        recipe. The reference has no multi-GPU analogue at all
+        (SURVEY.md 2.11); use this for big `sr_arbitrary`-class geometries
+        where one image's rows are worth splitting.
+
+        Returns the same dict as `__call__`; equals the unsharded forward
+        (tests/test_spatial_inference.py, incl. the int8 path).
+        """
+        mesh = mesh if mesh is not None else self.mesh
+        if mesh is None:
+            raise ValueError(
+                "sr_spatial needs a mesh: pass mesh= or construct the "
+                "pipeline with one")
+        if self._forward_spatial is None or self._spatial_mesh is not mesh:
+            rows = NamedSharding(mesh, P(None, "data", None, None))
+            repl = NamedSharding(mesh, P())
+            self._forward_spatial = jax.jit(
+                self._forward_fn(), in_shardings=(None, rows, repl, repl))
+            self._spatial_mesh = mesh
+        return self._forward_spatial(self.variables, jnp.asarray(lr),
+                                     jnp.asarray(captions),
+                                     jnp.asarray(cap_lens))
 
     def forward_scan(self, lr: jax.Array, captions: jax.Array,
                      cap_lens: jax.Array) -> jax.Array:
