@@ -4,6 +4,12 @@ from tgsr_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from tgsr_tpu.parallel.pipeline import (  # noqa: F401
+    extract_chain,
+    make_stage_mesh,
+    pipeline_apply,
+    stack_block_variables,
+)
 from tgsr_tpu.parallel.multihost import (  # noqa: F401
     global_batch_from_local,
     initialize_distributed,
