@@ -1,0 +1,147 @@
+"""Distributed checkpointing: sharded train state save/restore.
+
+Production contract on a mesh: (1) a sharded state checkpoints and
+restores with VALUES intact and PLACEMENT as requested by the restore
+template (orbax StandardRestore honors ShapeDtypeStruct shardings);
+(2) training resumed from the restored sharded state is bit-identical to
+the uninterrupted sharded run; (3) checkpoints are topology-portable —
+a state saved unsharded restores straight onto a DP/TP mesh layout.
+The reference has no checkpoint-resume at all beyond filename parsing
+(pretrain_DAMSM.py:182-185) and no multi-device anything (SURVEY.md 2.11).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tgsr_tpu.config import Config
+from tgsr_tpu.engine.gan_trainer import GANTrainer
+from tgsr_tpu.models.text_encoder import TextEncoder
+from tgsr_tpu.checkpoints.orbax_io import (restore_train_state,
+                                           save_train_state)
+
+
+def _setup(mesh, B=8):
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=4, BASE_SIZE=8),
+        GAN=dataclasses.replace(cfg.GAN, GF_DIM=16, DF_DIM=16),
+    )
+    vocab, T = 12, 18
+    k = jax.random.PRNGKey(0)
+    enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+    caps = jnp.ones((B, T), jnp.int32).at[:, 6:].set(0)
+    lens = jnp.full((B,), 6, jnp.int32)
+    text_vars = enc.init(k, caps, lens)
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "lr": 0.2 * jax.random.normal(rng, (B, 8, 8, 3)),
+        "real_pyramid": [
+            0.2 * jax.random.normal(jax.random.fold_in(rng, s), (B, s, s, 3))
+            for s in cfg.pyramid_sizes()
+        ],
+        "captions": caps,
+        "cap_lens": lens,
+        "class_ids": jnp.arange(B, dtype=jnp.int32),
+    }
+    trainer = GANTrainer(cfg, vocab, text_vars, mesh=mesh)
+    state = trainer.init_state(k, batch_size=B)
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        batch = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+            batch,
+        )
+    return trainer, state, batch
+
+
+def _tp_shard_params(state, mesh):
+    """Place conv kernels channel-sharded over 'model' (the dryrun's TP
+    layout); everything else replicated."""
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim == 4 and x.shape[-1] % 2 == 0:
+            return jax.device_put(
+                x, NamedSharding(mesh, P(None, None, None, "model")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return state.replace(
+        g_params=jax.tree.map(put, state.g_params),
+        d_params=jax.tree.map(put, state.d_params),
+    )
+
+
+def _abstract(tree):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        tree,
+    )
+
+
+def test_sharded_save_restore_resume(tmp_path):
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    trainer, state, batch = _setup(mesh)
+    state = _tp_shard_params(state, mesh)
+
+    # uninterrupted: 4 sharded steps, checkpointing after step 2.  The
+    # save (and host-side value/sharding snapshots for the asserts below)
+    # must happen BEFORE the next train_step consumes the state: the step
+    # is jitted with donate_argnums=(0,), so `s`'s buffers are deleted by
+    # the continuation.  save_train_state(wait=True) serializes first.
+    snap_abs = snap_host = None
+    s = state
+    for i in range(4):
+        if i == 2:
+            save_train_state(str(tmp_path / "ckpt"), 2, s)
+            snap_abs = _abstract(s)
+            snap_host = jax.tree.map(np.asarray, s)
+        s, metrics, _ = trainer.train_step(s, batch, jax.random.fold_in(
+            jax.random.PRNGKey(7), i))
+    final_ref = s
+
+    restored, step = restore_train_state(str(tmp_path / "ckpt"), snap_abs)
+    assert step == 2
+
+    # values intact, placement as requested (incl. the TP-sharded kernels)
+    for a, b, t in zip(jax.tree.leaves(snap_host), jax.tree.leaves(restored),
+                       jax.tree.leaves(snap_abs)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+        assert b.sharding == t.sharding
+
+    # resume: the continuation must be bit-identical to the uninterrupted
+    # run (same jitted program, same placements, same rng folds)
+    s = restored
+    for i in range(2, 4):
+        s, _, _ = trainer.train_step(s, batch, jax.random.fold_in(
+            jax.random.PRNGKey(7), i))
+    for a, b in zip(jax.tree.leaves(final_ref.g_params),
+                    jax.tree.leaves(s.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(final_ref.d_params),
+                    jax.tree.leaves(s.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_topology_portable_restore(tmp_path):
+    """A checkpoint written from an UNSHARDED state restores directly onto
+    a mesh layout: same values, template placement — the restart-on-a-
+    different-topology story (scale out after a save)."""
+    trainer, state, _ = _setup(mesh=None)
+    save_train_state(str(tmp_path / "ckpt"), 0, state)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    target = _tp_shard_params(
+        jax.device_put(state, NamedSharding(mesh, P())), mesh)
+    restored, _ = restore_train_state(str(tmp_path / "ckpt"),
+                                      _abstract(target))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for t, b in zip(jax.tree.leaves(target), jax.tree.leaves(restored)):
+        assert b.sharding == t.sharding
