@@ -143,3 +143,34 @@ def test_train_gan_cli_nan_abort(face_fixture, tmp_path):
               "--out_dir", str(tmp_path / "nan_out"), "--epochs", "50",
               "--log_every", "1000", "--nan_check_every", "1"])
     assert "NaN/Inf" in str(e.value)
+
+
+def test_train_gan_cli_mesh_fsdp(face_fixture, tmp_path):
+    """--mesh 2x1 --fsdp: the CLI trains DP-sharded with FSDP state
+    storage, checkpoints, and resumes back into the same layout (the
+    resume template carries the FSDP shardings)."""
+    data_dir, cfg = face_fixture
+    out = tmp_path / "out_mesh"
+    from tgsr_tpu.cli.train_gan import main
+
+    main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+          "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
+          "--mesh", "2x1", "--fsdp"])
+    from tgsr_tpu.checkpoints.orbax_io import latest_step
+
+    first = latest_step(str(out / "ckpt"))
+    assert first and first >= 2
+
+    main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+          "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
+          "--mesh", "2x1", "--fsdp", "--resume"])
+    assert latest_step(str(out / "ckpt")) >= first + 2
+
+    # arg validation: --fsdp without --mesh, malformed --mesh, indivisible
+    # batch all fail fast
+    import pytest
+
+    for bad in (["--fsdp"], ["--mesh", "nope"], ["--mesh", "3x1"]):
+        with pytest.raises(SystemExit):
+            main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+                  "--out_dir", str(tmp_path / "bad")] + bad)

@@ -59,6 +59,18 @@ def main(argv=None):
                              "every snapshot is also finiteness-gated "
                              "before it is written). 0 disables. Checking "
                              "costs one host sync per N steps")
+    parser.add_argument("--mesh", default="",
+                        help="train over a device mesh, 'DATAxMODEL' (e.g. "
+                             "8x1): the batch DP-shards over 'data' (XLA "
+                             "all-reduces grads over ICI), params replicate "
+                             "unless --fsdp. cfg.TRAIN.BATCH_SIZE must be "
+                             "divisible by DATA")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="with --mesh: store params/optimizer/EMA "
+                             "sharded over the 'data' axis (ZeRO-3 layout, "
+                             "parallel.mesh.fsdp_state) instead of "
+                             "replicated — same math, ~DATA-fold less "
+                             "state memory per device")
     parser.add_argument("--init_netg", default="",
                         help="warm-start G from a reference netG_epoch_*.pth "
                              "(netGH by name substitution; family-aware "
@@ -138,12 +150,29 @@ def main(argv=None):
         def image_encoder_apply(img):
             return cnn.apply(cnn_vars, img)
 
+    mesh = None
+    if args.mesh:
+        from tgsr_tpu.parallel.mesh import make_mesh
+
+        try:
+            n_data, n_model = (int(t) for t in args.mesh.lower().split("x"))
+        except ValueError:
+            parser.error(f"--mesh expects DATAxMODEL (e.g. 8x1), "
+                         f"got {args.mesh!r}")
+        if cfg.TRAIN.BATCH_SIZE % n_data:
+            parser.error(f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} not "
+                         f"divisible by the data axis ({n_data})")
+        mesh = make_mesh(n_data, n_model)
+    elif args.fsdp:
+        parser.error("--fsdp requires --mesh")
+
     trainer = GANTrainer(cfg, ds.n_words, text_vars,
                          image_encoder_apply=image_encoder_apply,
                          compute_dtype=jnp.bfloat16 if args.bf16
                          else jnp.float32,
                          remat=args.remat,
-                         loss_weights=loss_weights or None)
+                         loss_weights=loss_weights or None,
+                         mesh=mesh, fsdp=args.fsdp)
     state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
                                batch_size=cfg.TRAIN.BATCH_SIZE)
 
@@ -173,6 +202,16 @@ def main(argv=None):
               f"(+{init_netg.replace('netG', 'netGH')})")
     elif args.init_netg:
         raise SystemExit(f"--init_netg not found: {args.init_netg}")
+
+    if mesh is not None:
+        # place the state in its mesh layout BEFORE the resume restore:
+        # orbax restores onto the template's shardings, so a resumed run
+        # lands directly in the replicated/FSDP layout (topology-portable,
+        # tests/test_distributed_checkpoint.py)
+        from tgsr_tpu.parallel.mesh import fsdp_state, replicate
+
+        state = fsdp_state(state, mesh) if args.fsdp \
+            else replicate(state, mesh)
 
     start_step = 0
     if args.resume and latest_step(ckpt_dir) is not None:
@@ -249,8 +288,16 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
     from tgsr_tpu.data.pipeline import device_prefetch
 
     _LAST_STATE[0] = state
+    sharding = None
+    if trainer.mesh is not None:
+        # land each host batch DP-sharded (one shard per device) instead of
+        # a full copy on device 0; dim 0 shards, the rest replicate
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(trainer.mesh, P("data"))
     for epoch in range(epochs):
-        for batch in device_prefetch(loader.epoch(epoch), depth=2):
+        for batch in device_prefetch(loader.epoch(epoch), depth=2,
+                                     sharding=sharding):
             pre = device_preprocess(jnp.asarray(batch["hr"]),
                                     cfg.TREE.BRANCH_NUM, cfg.TREE.BASE_SIZE,
                                     with_blur=False)

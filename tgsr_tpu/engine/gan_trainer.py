@@ -71,6 +71,7 @@ class GANTrainer:
         remat: bool = False,
         g_lr=None,
         d_lr=None,
+        fsdp: bool = False,
     ):
         """`compute_dtype=jnp.bfloat16` runs the G/D conv stacks in bf16
         (standard mixed precision): params/optimizer/EMA stay f32, casts
@@ -87,9 +88,20 @@ class GANTrainer:
         adversarial term far below the content term (SRGAN uses 1e-3);
         pixel-dominant settings are what the overfit learning proof uses
         (examples/overfit_demo.py). Metrics always report UNWEIGHTED term
-        values; 'g_loss' is the weighted total that is differentiated."""
+        values; 'g_loss' is the weighted total that is differentiated.
+
+        `fsdp=True` (requires a mesh) keeps params/optimizer/EMA stored
+        SHARDED over the 'data' axis (ZeRO-3 layout, parallel.mesh.fsdp_spec):
+        XLA all-gathers each param before use and reduce-scatters its
+        gradient, cutting per-device state memory ~n_data-fold. Place the
+        initial state with parallel.mesh.fsdp_state; the step re-pins the
+        updated state to the same layout so it is stable across donated
+        steps. Math is unchanged vs DP (tests/test_fsdp.py)."""
         self.cfg = cfg
         self.mesh = mesh
+        if fsdp and mesh is None:
+            raise ValueError("fsdp=True requires a mesh")
+        self.fsdp = fsdp
         self.ema_decay = ema_decay
         self.compute_dtype = compute_dtype
         self.text_encoder = TextEncoder(
@@ -407,6 +419,20 @@ class GANTrainer:
                 g_params=g_params, g_stats=new_g_stats, g_ema=g_ema,
                 d_params=d_params, d_stats=d_stats2, d_opt=d_opt, g_opt=g_opt,
             )
+            if self.fsdp:
+                # pin the updated state back to the FSDP storage layout:
+                # without this XLA is free to emit replicated outputs, and
+                # the layout (hence the memory saving) would drift on the
+                # next donated step
+                from tgsr_tpu.parallel.mesh import fsdp_spec
+
+                n_data = self.mesh.shape["data"]
+                new_state = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(self.mesh,
+                                         fsdp_spec(x.shape, n_data))),
+                    new_state,
+                )
             metrics = {"d_loss": d_loss, "g_loss": g_loss, **logs}
             return new_state, metrics, rng_next
 

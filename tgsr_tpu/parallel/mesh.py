@@ -55,6 +55,49 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
     )
 
 
+def fsdp_spec(shape: Sequence[int], n_shards: int, axis_name: str = "data",
+              min_elements: int = 1024) -> P:
+    """FSDP/ZeRO-3 partition spec for one parameter leaf: shard the LARGEST
+    dimension divisible by `n_shards` over the mesh axis; replicate leaves
+    that are small (< min_elements) or have no divisible dimension. The
+    layout is storage-only — XLA all-gathers params before use and
+    reduce-scatters their gradients, so which dim is sharded never changes
+    the math, only the per-device resident bytes.
+    """
+    shape = tuple(shape)
+    if n_shards <= 1 or int(np.prod(shape, dtype=np.int64)) < min_elements:
+        return P()
+    best = None
+    for d, n in enumerate(shape):
+        if n % n_shards == 0 and (best is None or n > shape[best]):
+            best = d
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis_name
+    return P(*spec)
+
+
+def fsdp_shardings(tree: Any, mesh: Mesh, axis_name: str = "data",
+                   min_elements: int = 1024) -> Any:
+    """Per-leaf NamedShardings implementing an FSDP parameter/optimizer
+    layout over `axis_name` (see fsdp_spec)."""
+    n = mesh.shape[axis_name]
+    return jax.tree.map(
+        lambda x: NamedSharding(
+            mesh, fsdp_spec(np.shape(x), n, axis_name, min_elements)),
+        tree,
+    )
+
+
+def fsdp_state(tree: Any, mesh: Mesh, axis_name: str = "data",
+               min_elements: int = 1024) -> Any:
+    """Place a state pytree in the FSDP layout (big leaves sharded over
+    `axis_name`, small leaves replicated)."""
+    return jax.tree.map(jax.device_put, tree,
+                        fsdp_shardings(tree, mesh, axis_name, min_elements))
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
     """Pad a host batch so it divides the data axis; returns (padded, n_real)."""
     n = x.shape[axis]
