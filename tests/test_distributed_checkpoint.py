@@ -145,3 +145,31 @@ def test_topology_portable_restore(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for t, b in zip(jax.tree.leaves(target), jax.tree.leaves(restored)):
         assert b.sharding == t.sharding
+
+
+def test_async_checkpointer_donation_safe(tmp_path):
+    """TrainCheckpointer.save returns after the device->host snapshot;
+    donated steps that immediately reuse the saved state's device buffers
+    must not corrupt the in-flight write (orbax async contract), and the
+    restored values must equal the state AT save time."""
+    from tgsr_tpu.checkpoints.orbax_io import TrainCheckpointer
+
+    trainer, state, batch = _setup(mesh=None, B=4)
+    fold = lambda i: jax.random.fold_in(jax.random.PRNGKey(11), i)
+    with TrainCheckpointer(str(tmp_path / "ckpt")) as ckpt:
+        s, _, _ = trainer.train_step(state, batch, fold(0))
+        snap_host = jax.tree.map(np.asarray, s)
+        ckpt.save(1, s)
+        # the write is (potentially) still in flight; these donating steps
+        # recycle s's buffers right away
+        for i in range(1, 3):
+            s, _, _ = trainer.train_step(s, batch, fold(i))
+        ckpt.wait()
+        assert ckpt.latest_step() == 1
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), snap_host)
+        restored, step = ckpt.restore(template)
+        assert step == 1
+        for a, b in zip(jax.tree.leaves(snap_host),
+                        jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(a, np.asarray(b))

@@ -183,7 +183,7 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.out_dir, "ckpt")
 
     from tgsr_tpu.checkpoints.orbax_io import (
-        latest_step, restore_train_state, save_train_state)
+        TrainCheckpointer, latest_step, restore_train_state)
     from tgsr_tpu.utils.observability import MetricsLogger, StepTimer
 
     init_netg = args.init_netg or cfg.TRAIN.NET_G
@@ -226,10 +226,28 @@ def main(argv=None):
     it = start_step
     _LAST_STATE[0] = state  # before the try: a Ctrl-C landing inside
     # _train_epochs' prologue must still find a saveable state
+    # one persistent ASYNC writer for every periodic snapshot: save()
+    # returns after the device->host copy, the disk write overlaps the
+    # next train steps (orbax_io.TrainCheckpointer); close() below joins
+    # any in-flight write on every exit path (incl. the NaN-abort
+    # SystemExit)
+    ckpt_writer = TrainCheckpointer(ckpt_dir)
+    try:
+        _main_after_writer(args, cfg, trainer, loader, state, rng, it,
+                           epochs, timer, logger, model_dir, ckpt_dir,
+                           save_variables, ckpt_writer, device_preprocess,
+                           jnp)
+    finally:
+        ckpt_writer.close()
+
+
+def _main_after_writer(args, cfg, trainer, loader, state, rng, it, epochs,
+                       timer, logger, model_dir, ckpt_dir, save_variables,
+                       ckpt_writer, device_preprocess, jnp):
     try:
         it = _train_epochs(args, cfg, trainer, loader, state, rng, it,
                            epochs, timer, logger, model_dir, ckpt_dir,
-                           save_variables, save_train_state, device_preprocess,
+                           save_variables, ckpt_writer, device_preprocess,
                            jnp)
     except KeyboardInterrupt:
         # graceful exit with final checkpoint (= pretrain_DAMSM.py:293-295)
@@ -240,14 +258,16 @@ def main(argv=None):
         return
     try:
         final_step = max(int(final.step), 1)
-        if latest_step(ckpt_dir) == final_step:
+        ckpt_writer.wait()
+        if ckpt_writer.latest_step() == final_step:
             # the periodic save already wrote this exact step (run length a
             # multiple of the snapshot interval); orbax would raise
             # StepAlreadyExistsError on a duplicate
             print("training done;", final_step, "steps; checkpoints in",
                   ckpt_dir)
             return
-        save_train_state(ckpt_dir, final_step, final)
+        ckpt_writer.save(final_step, final)
+        ckpt_writer.wait()
     except (RuntimeError, ValueError) as e:
         # RuntimeError: a Ctrl-C mid-step can leave _LAST_STATE holding the
         # donated (invalidated) input buffers; ValueError covers orbax's
@@ -282,7 +302,7 @@ def _abort_if_nonfinite(metrics, it, ckpt_dir):
 
 def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                   logger, model_dir, ckpt_dir, save_variables,
-                  save_train_state, device_preprocess, jnp):
+                  ckpt_writer, device_preprocess, jnp):
     import os
 
     from tgsr_tpu.data.pipeline import device_prefetch
@@ -334,7 +354,10 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                     os.path.join(model_dir, f"netGH_it{it}.msgpack"),
                     {"params": state.g_ema["netgh"],
                      "batch_stats": state.g_stats["netgh"]})
-                save_train_state(ckpt_dir, it, state)
+                # async: returns after the device->host copy; the disk
+                # write overlaps the following steps (donation-safe,
+                # tests/test_distributed_checkpoint.py)
+                ckpt_writer.save(it, state)
     return it
 
 
