@@ -148,14 +148,18 @@ def main(argv=None):
     # the jitted step donates the state buffers, so the `state` local here
     # is unusable after the first step; the sink always holds the live one
     sink = [state]
+    from tgsr_tpu.utils.preemption import graceful_sigterm
+
     try:
-        state, history = trainer.fit(
-            state, train_loader, val_loader, epochs=epochs,
-            rng=jax.random.PRNGKey(args.manualSeed),
-            snapshot_fn=snapshot,
-            snapshot_interval=cfg.TRAIN.SNAPSHOT_INTERVAL,
-            state_sink=sink,
-        )
+        # SIGTERM (TPU-VM preemption) takes the same graceful path as Ctrl-C
+        with graceful_sigterm():
+            state, history = trainer.fit(
+                state, train_loader, val_loader, epochs=epochs,
+                rng=jax.random.PRNGKey(args.manualSeed),
+                snapshot_fn=snapshot,
+                snapshot_interval=cfg.TRAIN.SNAPSHOT_INTERVAL,
+                state_sink=sink,
+            )
         for h in history[-5:]:
             print(h)
     except KeyboardInterrupt:

@@ -216,8 +216,13 @@ def main(argv=None):
           f"(max_batch {args.max_batch}, delay {args.max_delay_ms} ms, "
           f"{'int8' if args.int8 else 'f32' if args.f32 else 'bf16'})",
           flush=True)
+    from tgsr_tpu.utils.preemption import graceful_sigterm
+
     try:
-        httpd.serve_forever()
+        # SIGTERM (container stop, TPU-VM preemption) drains like Ctrl-C:
+        # stop accepting, then batcher.close() finishes in-flight batches
+        with graceful_sigterm():
+            httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:

@@ -244,11 +244,16 @@ def main(argv=None):
 def _main_after_writer(args, cfg, trainer, loader, state, rng, it, epochs,
                        timer, logger, model_dir, ckpt_dir, save_variables,
                        ckpt_writer, device_preprocess, jnp):
+    from tgsr_tpu.utils.preemption import graceful_sigterm
+
     try:
-        it = _train_epochs(args, cfg, trainer, loader, state, rng, it,
-                           epochs, timer, logger, model_dir, ckpt_dir,
-                           save_variables, ckpt_writer, device_preprocess,
-                           jnp)
+        # SIGTERM (TPU-VM preemption, scheduler eviction) takes the same
+        # graceful path as Ctrl-C: final checkpoint + writer join
+        with graceful_sigterm():
+            it = _train_epochs(args, cfg, trainer, loader, state, rng, it,
+                               epochs, timer, logger, model_dir, ckpt_dir,
+                               save_variables, ckpt_writer,
+                               device_preprocess, jnp)
     except KeyboardInterrupt:
         # graceful exit with final checkpoint (= pretrain_DAMSM.py:293-295)
         print("interrupted; saving final checkpoint")
