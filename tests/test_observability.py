@@ -82,3 +82,43 @@ def test_orthogonal_reinit_semantics():
     assert abs(g.mean() - 1.0) < 0.05 and 0 < g.std() < 0.1
     np.testing.assert_array_equal(np.asarray(out["emb"]["embedding"]),
                                   np.asarray(params["emb"]["embedding"]))
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """tensorboard=True mirrors scalars to event files (SURVEY §5
+    "TensorBoard/CSV writer") readable by the standard event loader."""
+    pytest.importorskip("tensorboard")
+    m = MetricsLogger(str(tmp_path), "train", tensorboard=True)
+    m.log(0, loss=1.5, lr=2e-4)
+    m.log(5, loss=jnp.asarray(1.2), note="text-skipped")
+    m.close()
+    # JSONL unaffected
+    rows = [json.loads(l) for l in open(tmp_path / "train.jsonl")]
+    assert rows[1]["loss"] == pytest.approx(1.2)
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path / "tb"))
+    acc.Reload()
+    assert "loss" in acc.Tags()["scalars"]
+    ev = acc.Scalars("loss")
+    assert [e.step for e in ev] == [0, 5]
+    assert ev[0].value == pytest.approx(1.5)
+    assert ev[1].value == pytest.approx(1.2, rel=1e-5)
+    # non-float values are JSONL-only, never TB
+    assert "note" not in acc.Tags()["scalars"]
+
+
+def test_metrics_logger_csv(tmp_path):
+    m = MetricsLogger(str(tmp_path), "train", csv=True)
+    m.log(0, loss=1.5, lr=2e-4)
+    m.log(1, loss=0.5, lr=1e-4, extra=9.0)  # extra: JSONL-only (late key)
+    m.close()
+    lines = open(tmp_path / "train.csv").read().splitlines()
+    assert lines[0] == "step,time,loss,lr"
+    assert lines[1].startswith("0,") and lines[1].endswith(",1.5,0.0002")
+    assert lines[2].startswith("1,") and lines[2].endswith(",0.5,0.0001")
+    rows = [json.loads(l) for l in open(tmp_path / "train.jsonl")]
+    assert rows[1]["extra"] == 9.0

@@ -51,13 +51,35 @@ class StepTimer:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics stream (+ latest-value cache)."""
+    """Append-only JSONL metrics stream (+ latest-value cache).
 
-    def __init__(self, log_dir: str, name: str = "metrics"):
+    With ``tensorboard=True`` every scalar is mirrored to TensorBoard
+    event files under ``log_dir/tb`` (SURVEY §5 "TensorBoard/CSV
+    writer"; the reference only ever prints, pretrain_DAMSM.py:109-116).
+    Uses torch's event writer — always present in this stack — and
+    degrades to JSONL-only with a one-line note if it is not.
+    """
+
+    def __init__(self, log_dir: str, name: str = "metrics",
+                 tensorboard: bool = False, csv: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.jsonl")
         self._f = open(self.path, "a", buffering=1)
         self.latest: Dict[str, Any] = {}
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except Exception as e:  # missing/broken optional dep
+                print(f"tensorboard writer unavailable ({e}); JSONL only")
+        # CSV mirror: one row per log() call, header fixed by the FIRST
+        # row's keys (later unseen keys are dropped from the CSV — the
+        # JSONL stream is the lossless record)
+        self._csv = open(os.path.join(log_dir, f"{name}.csv"), "a",
+                         buffering=1) if csv else None
+        self._csv_cols = None
 
     def log(self, step: int, **metrics) -> None:
         row = {"step": int(step), "time": time.time()}
@@ -68,8 +90,22 @@ class MetricsLogger:
                 row[k] = v
         self.latest.update(row)
         self._f.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            for k, v in row.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, int(step))
+        if self._csv is not None:
+            if self._csv_cols is None:
+                self._csv_cols = list(row)
+                self._csv.write(",".join(self._csv_cols) + "\n")
+            self._csv.write(",".join(str(row.get(c, ""))
+                                     for c in self._csv_cols) + "\n")
 
     def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        if self._csv is not None:
+            self._csv.close()
         self._f.close()
 
 
