@@ -55,3 +55,37 @@ def test_pretrain_damsm_cli_end_to_end(face_fixture, tmp_path):
     snaps = sorted(os.listdir(model_dir))
     assert any(s.startswith("text_encoder") for s in snaps), snaps
     assert any(s.startswith("image_encoder") for s in snaps), snaps
+
+
+def test_pretrain_damsm_cli_mesh_dp(face_fixture, tmp_path):
+    """--mesh 2x1 runs the same epoch data-parallel (8 virtual CPU
+    devices from conftest); snapshots still land."""
+    data_dir, cfg = face_fixture
+    out = tmp_path / "out_mesh"
+
+    from tgsr_tpu.cli.pretrain_damsm import main
+
+    main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+          "--out_dir", str(out), "--epochs", "1", "--simple-cnn",
+          "--mesh", "2x1"])
+
+    runs = glob.glob(str(out / "face_DAMSM_*"))
+    assert len(runs) == 1
+    snaps = sorted(os.listdir(os.path.join(runs[0], "Model")))
+    assert any(s.startswith("text_encoder") for s in snaps), snaps
+
+
+def test_pretrain_damsm_cli_mesh_validation(face_fixture, tmp_path):
+    """Bad --mesh values fail at argparse time with actionable messages."""
+    import pytest
+
+    data_dir, cfg = face_fixture
+    from tgsr_tpu.cli.pretrain_damsm import main
+
+    for bad in ("2x2",      # DAMSM has no model axis
+                "3x1",      # BATCH_SIZE=2 not divisible by 3
+                "banana"):  # unparseable
+        with pytest.raises(SystemExit):
+            main(["--cfg", str(cfg), "--data_dir", str(data_dir),
+                  "--out_dir", str(tmp_path / "x"), "--epochs", "1",
+                  "--simple-cnn", "--mesh", bad])

@@ -34,6 +34,20 @@ def main(argv=None):
                         help="mixed precision: bf16 CNN encoder compute")
     parser.add_argument("--inception_ckpt", default="",
                         help="local torchvision inception_v3 .pth to load")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="mirror metrics to TensorBoard event files "
+                             "under the run's Log/tb dir (JSONL always on)")
+    parser.add_argument("--csv", action="store_true",
+                        help="mirror metrics to Log/metrics.csv (header "
+                             "fixed by the first row; JSONL is lossless)")
+    parser.add_argument("--mesh", default="",
+                        help="data-parallel training over a device mesh, "
+                             "'DATAx1' (e.g. 8x1). DAMSM has no model axis "
+                             "— the MODEL factor must be 1. "
+                             "cfg.TRAIN.BATCH_SIZE must be divisible by "
+                             "DATA (the B x B contrastive losses stay "
+                             "global-batch exact under DP, "
+                             "tests/test_damsm_sharding.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -63,6 +77,10 @@ def main(argv=None):
                        f"{cfg.DATASET_NAME}_DAMSM_{ts}")
     model_dir = os.path.join(out, "Model")
     os.makedirs(model_dir, exist_ok=True)
+    from tgsr_tpu.utils.observability import MetricsLogger
+
+    logger = MetricsLogger(os.path.join(out, "Log"),
+                           tensorboard=args.tensorboard, csv=args.csv)
 
     imsize = cfg.TREE.BASE_SIZE  # DAMSM configs: BRANCH_NUM=1, size 299
     if cfg.DATASET_NAME == "face":
@@ -81,13 +99,37 @@ def main(argv=None):
                              embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE,
                              imsize=imsize)
 
+    mesh = None
+    if args.mesh:
+        from tgsr_tpu.parallel.mesh import make_mesh
+
+        try:
+            n_data, n_model = (int(t) for t in args.mesh.lower().split("x"))
+        except ValueError:
+            parser.error(f"--mesh expects DATAx1 (e.g. 8x1), "
+                         f"got {args.mesh!r}")
+        if n_model != 1:
+            parser.error("DAMSM training has no model-parallel axis; "
+                         "use --mesh DATAx1")
+        if cfg.TRAIN.BATCH_SIZE % n_data:
+            parser.error(f"cfg.TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} is "
+                         f"not divisible by the mesh data axis ({n_data})")
+        mesh = make_mesh(n_data, n_model)
+
     trainer = DAMSMTrainer(cfg, train_ds.n_words,
                            use_inception=not args.simple_cnn,
                            compute_dtype=jnp.bfloat16 if args.bf16
-                           else jnp.float32)
+                           else jnp.float32,
+                           mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
                                image_size=imsize,
                                batch_size=cfg.TRAIN.BATCH_SIZE)
+    if mesh is not None:
+        # replicated state + DP batches; _device_batch lands host batches
+        # pre-sharded on the 'data' axis
+        from tgsr_tpu.parallel.mesh import replicate
+
+        state = replicate(state, mesh)
 
     if args.inception_ckpt:
         from tgsr_tpu.checkpoints.convert_torch import (
@@ -102,9 +144,20 @@ def main(argv=None):
 
     train_loader = BatchLoader(train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True,
                                seed=args.manualSeed)
-    val_loader = BatchLoader(val_ds, min(cfg.TRAIN.BATCH_SIZE, len(val_ds)),
-                             shuffle=False, drop_last=False,
-                             deterministic_captions=True)
+    val_batch = min(cfg.TRAIN.BATCH_SIZE, len(val_ds))
+    val_loader = None
+    if mesh is not None:
+        # DP: every dispatched batch must divide the data axis (the trainer
+        # raises otherwise); round the val batch down and drop the tail
+        n_data = mesh.shape["data"]
+        val_batch = (val_batch // n_data) * n_data
+        if val_batch == 0:
+            print(f"val set ({len(val_ds)} items) smaller than the mesh "
+                  f"data axis ({n_data}); skipping validation")
+    if val_batch:
+        val_loader = BatchLoader(val_ds, val_batch, shuffle=False,
+                                 drop_last=mesh is not None,
+                                 deterministic_captions=True)
 
     image_dir = os.path.join(out, "Image")
     os.makedirs(image_dir, exist_ok=True)
@@ -124,7 +177,8 @@ def main(argv=None):
 
             from tgsr_tpu.utils.visualize import build_super_images
 
-            batch = next(val_loader.epoch(0), None)
+            batch = (next(val_loader.epoch(0), None)
+                     if val_loader is not None else None)
             if batch is None:
                 batch = next(train_loader.epoch(0))
             db = trainer._device_batch(batch, None)
@@ -159,6 +213,7 @@ def main(argv=None):
                 snapshot_fn=snapshot,
                 snapshot_interval=cfg.TRAIN.SNAPSHOT_INTERVAL,
                 state_sink=sink,
+                logger=logger,
             )
         for h in history[-5:]:
             print(h)
@@ -172,6 +227,8 @@ def main(argv=None):
             # (already-invalidated) input state; the previous periodic
             # snapshot is then the best available
             print(f"interrupted; final snapshot unsaveable ({e})")
+    finally:
+        logger.close()  # flushes TB event files when --tensorboard
 
 
 if __name__ == "__main__":

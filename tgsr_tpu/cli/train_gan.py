@@ -52,6 +52,12 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest orbax checkpoint under "
                              "--out_dir/ckpt")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="mirror the JSONL metrics to TensorBoard event "
+                             "files under --out_dir/Log/tb")
+    parser.add_argument("--csv", action="store_true",
+                        help="mirror the JSONL metrics to Log/metrics.csv "
+                             "(header fixed by the first row)")
     parser.add_argument("--nan_check_every", type=int, default=50,
                         help="failure detection: every N steps, fetch the "
                              "metrics and ABORT if any is non-finite "
@@ -218,7 +224,8 @@ def main(argv=None):
         state, start_step = restore_train_state(ckpt_dir, state)
         print(f"resumed from step {start_step}")
 
-    logger = MetricsLogger(os.path.join(args.out_dir, "Log"))
+    logger = MetricsLogger(os.path.join(args.out_dir, "Log"),
+                           tensorboard=args.tensorboard, csv=args.csv)
     timer = StepTimer()
 
     rng = jax.random.PRNGKey(args.manualSeed + 1)
@@ -239,6 +246,7 @@ def main(argv=None):
                            jnp)
     finally:
         ckpt_writer.close()
+        logger.close()  # flushes TB event files when --tensorboard
 
 
 def _main_after_writer(args, cfg, trainer, loader, state, rng, it, epochs,

@@ -246,13 +246,17 @@ class DAMSMTrainer:
             snapshot_interval: int = 0,
             reset_moments_each_epoch: bool = True,
             preprocess: Optional[Callable] = None,
-            state_sink: Optional[list] = None):
+            state_sink: Optional[list] = None,
+            logger=None):
         """`state_sink`: a 1-element list updated with the LIVE state each
         step -- the caller's only handle on trained weights if fit is
         interrupted (the `state` argument's buffers are donated by the
-        jitted step and cannot be saved afterwards)."""
+        jitted step and cannot be saved afterwards).
+        `logger`: optional utils.observability.MetricsLogger; every
+        history row is mirrored there (JSONL [+ TensorBoard])."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         history = []
+        gstep = 0
         if state_sink is not None:
             state_sink[0] = state
         for epoch in range(epochs):
@@ -265,9 +269,12 @@ class DAMSMTrainer:
                 state, metrics = self.train_step(state, db, lr, sub)
                 if state_sink is not None:
                     state_sink[0] = state
+                gstep += 1
                 if log_every and i % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     history.append({"epoch": epoch, "it": i, "lr": lr, **m})
+                    if logger is not None:
+                        logger.log(gstep, epoch=epoch, lr=lr, **m)
                     # failure detection at the existing sync points (the
                     # fetch already forces the step): a diverged run stops
                     # here, resumable from the last snapshot
@@ -283,6 +290,8 @@ class DAMSMTrainer:
             if val_loader is not None:
                 vloss = self.evaluate(state, val_loader, preprocess)
                 history.append({"epoch": epoch, "val": vloss})
+                if logger is not None:
+                    logger.log(gstep, epoch=epoch, val=vloss)
             if snapshot_fn and snapshot_interval and (
                     epoch % snapshot_interval == 0 or epoch == epochs - 1):
                 snapshot_fn(state, epoch)
