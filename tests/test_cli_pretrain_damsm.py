@@ -57,6 +57,55 @@ def test_pretrain_damsm_cli_end_to_end(face_fixture, tmp_path):
     assert any(s.startswith("image_encoder") for s in snaps), snaps
 
 
+def test_pretrain_damsm_cli_resume_matches_uninterrupted(face_fixture,
+                                                         tmp_path):
+    """--resume_from text_encoder<N> continues at epoch N+1 (the
+    reference's NET_E convention, pretrain_DAMSM.py:177-185) and is EXACT:
+    per-epoch optimizer reset + deterministic loader + fast-forwarded
+    dropout rng make the resumed epoch-1 weights equal the uninterrupted
+    run's."""
+    import jax
+    import numpy as np
+
+    from tgsr_tpu.checkpoints.io import load_variables
+    from tgsr_tpu.cli.pretrain_damsm import main
+
+    data_dir, cfg = face_fixture
+
+    def run_dir(out):
+        runs = glob.glob(str(out / "face_DAMSM_*"))
+        assert len(runs) == 1
+        return runs[0]
+
+    base = ["--cfg", str(cfg), "--data_dir", str(data_dir), "--simple-cnn"]
+
+    out_a = tmp_path / "a"
+    main(base + ["--out_dir", str(out_a), "--epochs", "2"])
+    snap_a = load_variables(
+        os.path.join(run_dir(out_a), "Model", "text_encoder1.msgpack"))
+
+    out_b = tmp_path / "b"
+    main(base + ["--out_dir", str(out_b), "--epochs", "1"])
+    resume = os.path.join(run_dir(out_b), "Model", "text_encoder0.msgpack")
+    out_c = tmp_path / "c"
+    main(base + ["--out_dir", str(out_c), "--epochs", "2",
+                 "--resume_from", resume])
+    snap_c = load_variables(
+        os.path.join(run_dir(out_c), "Model", "text_encoder1.msgpack"))
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        snap_a, snap_c)
+
+    # malformed snapshot name fails fast
+    import pytest
+
+    with pytest.raises(SystemExit, match="resume_from"):
+        main(base + ["--out_dir", str(tmp_path / "x"),
+                     "--resume_from", "weights.msgpack"])
+
+
 def test_pretrain_damsm_cli_mesh_dp(face_fixture, tmp_path):
     """--mesh 2x1 runs the same epoch data-parallel (8 virtual CPU
     devices from conftest); snapshots still land."""

@@ -65,11 +65,65 @@ def test_train_gan_cli_end_to_end_and_resume(face_fixture, tmp_path):
     first = latest_step(str(out / "ckpt"))
     assert first and first >= 2  # 4 images / batch 2 = 2 steps
 
-    # resume: second invocation continues from the saved step
+    # resume: second invocation continues from the saved step to the new
+    # TOTAL epoch count (--epochs is total training length, so resuming
+    # with the same --epochs 1 would correctly be a no-op)
     main(["--cfg", str(cfg), "--data_dir", str(data_dir),
-          "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
+          "--out_dir", str(out), "--epochs", "2", "--log_every", "1",
           "--resume"])
     assert latest_step(str(out / "ckpt")) >= first + 2
+
+
+def test_train_gan_cli_resume_exact_equivalence(face_fixture, tmp_path):
+    """--resume continues the EXACT uninterrupted run: same data order
+    (deterministic loader + batch skip) and same rng stream
+    (fast-forwarded), so interrupted+resumed final weights match the
+    uninterrupted run's — at an epoch boundary AND mid-epoch."""
+    import shutil
+
+    import jax
+
+    from tgsr_tpu.checkpoints.io import load_variables
+    from tgsr_tpu.cli.train_gan import main
+
+    data_dir, cfg = face_fixture
+    base = ["--cfg", str(cfg), "--data_dir", str(data_dir),
+            "--log_every", "1"]
+
+    def final_snap(out):
+        # 4 images / batch 2 = 2 steps/epoch; 2 epochs -> netG_it4
+        return load_variables(str(out / "Model" / "netG_it4.msgpack"))
+
+    def assert_tree_equal(a, b):
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7),
+            a, b)
+
+    # A: 2 epochs uninterrupted
+    out_a = tmp_path / "a"
+    main(base + ["--out_dir", str(out_a), "--epochs", "2"])
+
+    # B: 1 epoch, then resume to the same total (epoch-boundary resume)
+    out_b = tmp_path / "b"
+    main(base + ["--out_dir", str(out_b), "--epochs", "1"])
+    main(base + ["--out_dir", str(out_b), "--epochs", "2", "--resume"])
+    assert_tree_equal(final_snap(out_a), final_snap(out_b))
+
+    # C: mid-epoch resume -- restore from step 3 (epoch 1, batch 1); only
+    # step 4 should run, on the SAME batch + rng the uninterrupted run
+    # used (the skipped batch replays through the loader, not the device)
+    out_c = tmp_path / "c"
+    shutil.copytree(out_a / "ckpt", out_c / "ckpt")
+    shutil.rmtree(out_c / "ckpt" / "4")
+    from tgsr_tpu.checkpoints.orbax_io import latest_step
+
+    assert latest_step(str(out_c / "ckpt")) == 3
+    main(base + ["--out_dir", str(out_c), "--epochs", "2", "--resume"])
+    assert_tree_equal(final_snap(out_a), final_snap(out_c))
+    # exactly one snapshot was written by the resumed leg (step 4 only)
+    snaps_c = sorted(p for p in os.listdir(out_c / "Model") if "netG_" in p)
+    assert snaps_c == ["netG_it4.msgpack"], snaps_c
 
 
 @pytest.mark.slow
@@ -162,7 +216,7 @@ def test_train_gan_cli_mesh_fsdp(face_fixture, tmp_path):
     assert first and first >= 2
 
     main(["--cfg", str(cfg), "--data_dir", str(data_dir),
-          "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
+          "--out_dir", str(out), "--epochs", "2", "--log_every", "1",
           "--mesh", "2x1", "--fsdp", "--resume"])
     assert latest_step(str(out / "ckpt")) >= first + 2
 

@@ -34,6 +34,16 @@ def main(argv=None):
                         help="mixed precision: bf16 CNN encoder compute")
     parser.add_argument("--inception_ckpt", default="",
                         help="local torchvision inception_v3 .pth to load")
+    parser.add_argument("--resume_from", default="",
+                        help="resume from a text_encoder<N>.{msgpack,pth} "
+                             "snapshot (the paired image_encoder<N> file is "
+                             "loaded by name substitution and training "
+                             "continues at epoch N+1 — the reference's "
+                             "NET_E convention, pretrain_DAMSM.py:177-185). "
+                             "Epoch-granular resume is exact: the protocol "
+                             "re-creates the optimizer each epoch, the "
+                             "loader is (seed, epoch)-deterministic, and "
+                             "the dropout rng is fast-forwarded")
     parser.add_argument("--tensorboard", action="store_true",
                         help="mirror metrics to TensorBoard event files "
                              "under the run's Log/tb dir (JSONL always on)")
@@ -124,12 +134,6 @@ def main(argv=None):
     state = trainer.init_state(jax.random.PRNGKey(args.manualSeed),
                                image_size=imsize,
                                batch_size=cfg.TRAIN.BATCH_SIZE)
-    if mesh is not None:
-        # replicated state + DP batches; _device_batch lands host batches
-        # pre-sharded on the 'data' axis
-        from tgsr_tpu.parallel.mesh import replicate
-
-        state = replicate(state, mesh)
 
     if args.inception_ckpt:
         from tgsr_tpu.checkpoints.convert_torch import (
@@ -141,6 +145,53 @@ def main(argv=None):
             cnn_stats={**state.cnn_stats, **conv["batch_stats"]},
         )
         print("loaded inception backbone from", args.inception_ckpt)
+
+    start_epoch = 0
+    if args.resume_from:
+        import re
+
+        m = re.search(r"text_encoder(-?\d+)\.(msgpack|pth)$",
+                      args.resume_from)
+        if not m:
+            raise SystemExit(f"--resume_from must point at a "
+                             f"text_encoder<N>.msgpack/.pth snapshot, "
+                             f"got {args.resume_from!r}")
+        start_epoch = max(int(m.group(1)) + 1, 0)
+        img_path = args.resume_from.replace("text_encoder", "image_encoder")
+        if args.resume_from.endswith(".pth"):
+            from tgsr_tpu.checkpoints.convert_torch import (
+                convert_cnn_encoder, convert_text_encoder,
+                load_torch_state_dict)
+
+            tv = convert_text_encoder(
+                load_torch_state_dict(args.resume_from), cfg.RNN_TYPE)
+            iv = (convert_cnn_encoder(load_torch_state_dict(img_path))
+                  if os.path.exists(img_path) else None)
+        else:
+            from tgsr_tpu.checkpoints.io import load_variables
+
+            tv = load_variables(args.resume_from)
+            iv = (load_variables(img_path)
+                  if os.path.exists(img_path) else None)
+        state = state.replace(text_params=tv["params"])
+        if iv is not None:
+            state = state.replace(
+                cnn_params={**state.cnn_params, **iv["params"]},
+                cnn_stats={**state.cnn_stats,
+                           **iv.get("batch_stats", {})})
+        else:
+            print(f"paired image encoder not found at {img_path}; "
+                  f"text encoder only")
+        print(f"resumed encoders from {args.resume_from}; "
+              f"continuing at epoch {start_epoch}")
+
+    if mesh is not None:
+        # replicated state + DP batches (AFTER every weight load, so the
+        # loaded leaves get the mesh layout); _device_batch lands host
+        # batches pre-sharded on the 'data' axis
+        from tgsr_tpu.parallel.mesh import replicate
+
+        state = replicate(state, mesh)
 
     train_loader = BatchLoader(train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True,
                                seed=args.manualSeed)
@@ -204,16 +255,26 @@ def main(argv=None):
     sink = [state]
     from tgsr_tpu.utils.preemption import graceful_sigterm
 
+    rng = jax.random.PRNGKey(args.manualSeed)
+    if start_epoch:
+        # exact-resume: fit consumes one split per train batch
+        # (rng = split(rng)[0]); replay the skipped epochs' splits so the
+        # dropout stream continues the uninterrupted run's
+        rng = jax.jit(lambda k, n: jax.lax.fori_loop(
+            0, n, lambda _, kk: jax.random.split(kk)[0], k))(
+                rng, jnp.int32(start_epoch * len(train_loader)))
     try:
         # SIGTERM (TPU-VM preemption) takes the same graceful path as Ctrl-C
         with graceful_sigterm():
             state, history = trainer.fit(
                 state, train_loader, val_loader, epochs=epochs,
-                rng=jax.random.PRNGKey(args.manualSeed),
+                rng=rng,
                 snapshot_fn=snapshot,
                 snapshot_interval=cfg.TRAIN.SNAPSHOT_INTERVAL,
                 state_sink=sink,
                 logger=logger,
+                start_epoch=start_epoch,
+                global_step_offset=start_epoch * len(train_loader),
             )
         for h in history[-5:]:
             print(h)

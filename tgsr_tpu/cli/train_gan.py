@@ -51,7 +51,11 @@ def main(argv=None):
                              "weights/opt/losses")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest orbax checkpoint under "
-                             "--out_dir/ckpt")
+                             "--out_dir/ckpt; continues the EXACT "
+                             "uninterrupted run: same data order (the "
+                             "loader is (seed, epoch)-deterministic, "
+                             "already-consumed batches are skipped) and "
+                             "same per-step rng stream (fast-forwarded)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="mirror the JSONL metrics to TensorBoard event "
                              "files under --out_dir/Log/tb")
@@ -229,6 +233,13 @@ def main(argv=None):
     timer = StepTimer()
 
     rng = jax.random.PRNGKey(args.manualSeed + 1)
+    if start_step:
+        # exact-resume contract: train_step returns split(rng)[1], so the
+        # uninterrupted run's rng at step k is k chained splits of the
+        # seed key -- replay them in one jitted loop (one dispatch)
+        rng = jax.jit(lambda k, n: jax.lax.fori_loop(
+            0, n, lambda _, kk: jax.random.split(kk)[1], k))(
+                rng, jnp.int32(start_step))
     epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
     it = start_step
     _LAST_STATE[0] = state  # before the try: a Ctrl-C landing inside
@@ -328,8 +339,20 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(trainer.mesh, P("data"))
-    for epoch in range(epochs):
-        for batch in device_prefetch(loader.epoch(epoch), depth=2,
+    # exact-resume: `it` global steps already ran, so continue at
+    # (epoch, batch) = divmod(it, steps/epoch) -- the loader's order is a
+    # pure function of (seed, epoch), so skipping reproduces the
+    # uninterrupted run's data stream (tests/test_cli_train_gan.py)
+    n_batches = len(loader)
+    start_epoch, skip = divmod(it, n_batches) if n_batches else (0, 0)
+    for epoch in range(start_epoch, epochs):
+        host_iter = loader.epoch(epoch)
+        if skip:
+            import itertools
+
+            host_iter = itertools.islice(host_iter, skip, None)
+            skip = 0
+        for batch in device_prefetch(host_iter, depth=2,
                                      sharding=sharding):
             pre = device_preprocess(jnp.asarray(batch["hr"]),
                                     cfg.TREE.BRANCH_NUM, cfg.TREE.BASE_SIZE,

@@ -247,19 +247,28 @@ class DAMSMTrainer:
             reset_moments_each_epoch: bool = True,
             preprocess: Optional[Callable] = None,
             state_sink: Optional[list] = None,
-            logger=None):
+            logger=None,
+            start_epoch: int = 0,
+            global_step_offset: int = 0):
         """`state_sink`: a 1-element list updated with the LIVE state each
         step -- the caller's only handle on trained weights if fit is
         interrupted (the `state` argument's buffers are donated by the
         jitted step and cannot be saved afterwards).
         `logger`: optional utils.observability.MetricsLogger; every
-        history row is mirrored there (JSONL [+ TensorBoard])."""
+        history row is mirrored there (JSONL [+ TensorBoard]).
+        `start_epoch`: resume point (= the reference's filename-parsed
+        NET_E epoch + 1, pretrain_DAMSM.py:182-185); epoch-granular resume
+        is exact because the reference protocol re-creates the optimizer
+        (zeroing the Adam moments) at every epoch start anyway. Pass a
+        step-aligned rng (the caller fast-forwards the per-batch splits)
+        and `global_step_offset` = start_epoch * batches/epoch so logged
+        steps continue the uninterrupted run's axis."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         history = []
-        gstep = 0
+        gstep = global_step_offset
         if state_sink is not None:
             state_sink[0] = state
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             lr = self.epoch_lr(epoch)
             if reset_moments_each_epoch and epoch > 0:
                 state = self.reset_optimizer(state)
