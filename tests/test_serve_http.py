@@ -150,3 +150,54 @@ def test_serve_main_arg_validation():
 
     with pytest.raises(SystemExit, match="artifact OR"):
         main(["--cfg", "x.yml"])  # incomplete non-artifact spec
+    with pytest.raises(SystemExit, match="vocab_pickle"):
+        main(["--aot", "/tmp/nowhere"])
+    with pytest.raises(SystemExit, match="export time"):
+        main(["--aot", "/tmp/nowhere", "--vocab_pickle", "v.pickle",
+              "--int8"])
+
+
+def test_http_serving_from_aot_artifact(small_pipe, tmp_path):  # noqa: F811
+    """cli.serve over an engine.aot artifact: the HTTP result equals the
+    live pipeline's, and native mode is cleanly rejected (fixed shapes)."""
+    from tgsr_tpu.engine.aot import AOTPipeline, export_serving
+
+    export_serving(small_pipe, str(tmp_path / "aot"))
+    aot = AOTPipeline(str(tmp_path / "aot"))
+    assert aot.cfg.scale == 8 and aot.cfg.TREE.BASE_SIZE == 16
+
+    words = ["<end>", "a", "big", "nose", "smiling"]
+    vocab = Vocab(dict(enumerate(words)), {w: i for i, w in enumerate(words)})
+    httpd = make_server(aot, vocab, port=0, max_batch=4, max_delay_ms=10,
+                        lr_size=16)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        rng = np.random.default_rng(3)
+        img = Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        status, body = _post_sr(port, buf.getvalue(), "a big nose")
+        assert status == 200
+        out = np.asarray(Image.open(io.BytesIO(body)))
+
+        lr = np.asarray(img.resize((16, 16), Image.BICUBIC),
+                        np.float32) / 127.5 - 1.0
+        cap, n = encode_caption_text("a big nose", vocab, 18)
+        direct = small_pipe.sr_uint8(lr[None], cap[None],
+                                     np.asarray([n], np.int32))[0]
+        np.testing.assert_array_equal(out, direct)
+
+        # native mode: explicit 400, not a crash
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sr?mode=native", data=buf.getvalue(),
+            headers={"X-Caption": "a"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400 and b"AOT" in e.value.read()
+    finally:
+        httpd.shutdown()
+        httpd.batcher.close()
+        t.join(timeout=10)

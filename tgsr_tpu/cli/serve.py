@@ -117,6 +117,11 @@ def make_server(pipeline, vocab, host: str = "127.0.0.1", port: int = 8718,
             mode = parse_qs(url.query).get("mode", ["fixed"])[0]
             try:
                 if mode == "native":
+                    if not hasattr(pipeline, "sr_arbitrary"):
+                        return self._json(400, {
+                            "error": "native mode unavailable: this server "
+                                     "runs an AOT artifact with fixed "
+                                     "shapes (export_serving)"})
                     # crop down to a multiple of the scale (the reference
                     # example-test contract, datasets.py:206-210)
                     w0, h0 = (img.width // scale) * scale, \
@@ -158,6 +163,13 @@ def main(argv=None):
                         help="serving-artifact dir (SRPipeline."
                              "save_artifact) — replaces --cfg/--netg/"
                              "--vocab_pickle")
+    parser.add_argument("--aot", default="",
+                        help="AOT artifact dir (engine.aot.export_serving): "
+                             "serve the baked StableHLO forward — no model "
+                             "code or checkpoints load; precision/quant are "
+                             "fixed at export, so --int8/--f32 are invalid "
+                             "here. Needs --vocab_pickle. Native mode is "
+                             "disabled (fixed shapes)")
     parser.add_argument("--cfg", dest="cfg_file", default="")
     parser.add_argument("--netg", default="",
                         help="reference netG_epoch_*.pth (netGH resolved "
@@ -181,7 +193,18 @@ def main(argv=None):
     enable_compile_cache()
     from tgsr_tpu.engine.inference import SRPipeline
 
-    if args.artifact:
+    if args.aot:
+        if args.int8 or args.f32:
+            raise SystemExit("--aot artifacts bake precision/quantization "
+                             "at export time; drop --int8/--f32")
+        if not args.vocab_pickle:
+            raise SystemExit("--aot needs --vocab_pickle (caption encoding "
+                             "stays host-side)")
+        from tgsr_tpu.engine.aot import AOTPipeline
+
+        pipe = AOTPipeline(args.aot)
+        vocab = load_vocab(args.vocab_pickle)
+    elif args.artifact:
         pipe, vocab = SRPipeline.load_artifact(
             args.artifact,
             compute_dtype=jnp.float32 if args.f32 else None,
@@ -214,7 +237,7 @@ def main(argv=None):
     httpd.batcher.warmup()
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(max_batch {args.max_batch}, delay {args.max_delay_ms} ms, "
-          f"{'int8' if args.int8 else 'f32' if args.f32 else 'bf16'})",
+          f"{'aot' if args.aot else 'int8' if args.int8 else 'f32' if args.f32 else 'bf16'})",
           flush=True)
     from tgsr_tpu.utils.preemption import graceful_sigterm
 
