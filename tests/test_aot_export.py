@@ -67,6 +67,19 @@ def test_aot_pinned_batch_and_float(tmp_path):
         aot.sr_uint8(lr3, caps3, lens3)
 
 
+def test_aot_multiplatform_lowering(tmp_path):
+    """platforms=["cpu","tpu"]: one artifact lowered for both targets
+    (no TPU needed at export time); the CPU leg still runs and matches."""
+    pipe = build_small_pipe()
+    out = export_serving(pipe, str(tmp_path / "aot_mp"), batch_size=1,
+                         platforms=["cpu", "tpu"])
+    call, meta = load_serving(out)
+    assert set(meta["platforms"]) == {"cpu", "tpu"}
+    lr, caps, lens = _inputs(1, seed=9)
+    np.testing.assert_array_equal(np.asarray(call(lr, caps, lens)),
+                                  pipe.sr_uint8(lr, caps, lens))
+
+
 def test_export_aot_cli_from_bundle(tmp_path):
     """cli.export_aot consumes a save_artifact bundle and produces a
     loadable artifact with the requested knobs."""

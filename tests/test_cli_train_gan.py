@@ -24,9 +24,10 @@ def face_fixture(tmp_path):
     rows = [" ".join(attrs) + " "]
     img_dir = tmp_path / "Img"
     img_dir.mkdir()
-    for i in range(4):
+    for i in range(6):
         vals = ["1" if rng.rand() < 0.5 else "0" for _ in attrs]
-        vals[10] = "0"  # attr[11] == Blurry: 0 -> train split
+        # attr[11] == Blurry: 0 -> train split (4 imgs), 1 -> test (2)
+        vals[10] = "0" if i < 4 else "1"
         vals[0] = "1"    # at least one positive attribute (caption nonempty)
         rows.append(f"{i:06d}.jpg " + " ".join(vals))
         im = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
@@ -53,13 +54,23 @@ def test_train_gan_cli_end_to_end_and_resume(face_fixture, tmp_path):
     from tgsr_tpu.cli.train_gan import main
 
     main(["--cfg", str(cfg), "--data_dir", str(data_dir),
-          "--out_dir", str(out), "--epochs", "1", "--log_every", "1"])
+          "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
+          "--eval_every", "1"])
 
     model_dir = out / "Model"
     snaps = sorted(os.listdir(model_dir))
     assert any("netG" in s for s in snaps), snaps
     assert any("netGH" in s for s in snaps), snaps
     assert (out / "Log").exists()
+    # --eval_every logged EMA validation quality on the test split
+    import json
+
+    rows = [json.loads(l)
+            for l in open(out / "Log" / "metrics.jsonl")]
+    vals = [r["val_psnr_y"] for r in rows if "val_psnr_y" in r]
+    assert len(vals) == 2 and all(np.isfinite(v) for v in vals), rows
+    assert all(-1 <= r["val_ssim_y"] <= 1 for r in rows
+               if "val_ssim_y" in r)  # SSIM range (can be ~0 at init)
     from tgsr_tpu.checkpoints.orbax_io import latest_step
 
     first = latest_step(str(out / "ckpt"))
@@ -209,7 +220,7 @@ def test_train_gan_cli_mesh_fsdp(face_fixture, tmp_path):
 
     main(["--cfg", str(cfg), "--data_dir", str(data_dir),
           "--out_dir", str(out), "--epochs", "1", "--log_every", "1",
-          "--mesh", "2x1", "--fsdp"])
+          "--mesh", "2x1", "--fsdp", "--eval_every", "2"])
     from tgsr_tpu.checkpoints.orbax_io import latest_step
 
     first = latest_step(str(out / "ckpt"))

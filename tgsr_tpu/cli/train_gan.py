@@ -62,6 +62,15 @@ def main(argv=None):
     parser.add_argument("--csv", action="store_true",
                         help="mirror the JSONL metrics to Log/metrics.csv "
                              "(header fixed by the first row)")
+    parser.add_argument("--eval_every", type=int, default=0,
+                        help="every N steps, log PSNR-Y/SSIM of the EMA "
+                             "generator on a fixed validation batch "
+                             "(the evaluate_sr protocol; falls back to a "
+                             "train batch if the val split is empty). "
+                             "0 disables. Costs one eval forward + host "
+                             "sync per N steps")
+    parser.add_argument("--eval_batch", type=int, default=16,
+                        help="validation batch size for --eval_every")
     parser.add_argument("--nan_check_every", type=int, default=50,
                         help="failure detection: every N steps, fetch the "
                              "metrics and ABORT if any is non-finite "
@@ -232,6 +241,34 @@ def main(argv=None):
                            tensorboard=args.tensorboard, csv=args.csv)
     timer = StepTimer()
 
+    val_db = None
+    if args.eval_every:
+        if cfg.DATASET_NAME == "face":
+            vds = TextFaceDataset(cfg.DATA_DIR, split="test",
+                                  words_num=cfg.TEXT.WORDS_NUM,
+                                  imsize=cfg.imsize)
+        else:
+            vds = TextSRDataset(cfg.DATA_DIR, split="test",
+                                words_num=cfg.TEXT.WORDS_NUM,
+                                embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE,
+                                imsize=cfg.imsize)
+        src, note = (vds, "val") if len(vds) else (ds,
+                                                   "train (val split empty)")
+        vloader = BatchLoader(src, min(args.eval_batch, len(src)),
+                              shuffle=False, drop_last=False,
+                              deterministic_captions=True)
+        vb = next(vloader.epoch(0))
+        pre = device_preprocess(jnp.asarray(vb["hr"]), cfg.TREE.BRANCH_NUM,
+                                cfg.TREE.BASE_SIZE, with_blur=False)
+        val_db = {
+            "lr": pre["lr"],
+            "real_pyramid": pre["pyramid"][1:],
+            "captions": jnp.asarray(vb["captions"]),
+            "cap_lens": jnp.asarray(vb["cap_lens"]),
+        }
+        print(f"periodic eval every {args.eval_every} steps on "
+              f"{int(vb['hr'].shape[0])} {note} images")
+
     rng = jax.random.PRNGKey(args.manualSeed + 1)
     if start_step:
         # exact-resume contract: train_step returns split(rng)[1], so the
@@ -254,7 +291,7 @@ def main(argv=None):
         _main_after_writer(args, cfg, trainer, loader, state, rng, it,
                            epochs, timer, logger, model_dir, ckpt_dir,
                            save_variables, ckpt_writer, device_preprocess,
-                           jnp)
+                           jnp, val_db)
     finally:
         ckpt_writer.close()
         logger.close()  # flushes TB event files when --tensorboard
@@ -262,7 +299,7 @@ def main(argv=None):
 
 def _main_after_writer(args, cfg, trainer, loader, state, rng, it, epochs,
                        timer, logger, model_dir, ckpt_dir, save_variables,
-                       ckpt_writer, device_preprocess, jnp):
+                       ckpt_writer, device_preprocess, jnp, val_db=None):
     from tgsr_tpu.utils.preemption import graceful_sigterm
 
     try:
@@ -272,7 +309,7 @@ def _main_after_writer(args, cfg, trainer, loader, state, rng, it, epochs,
             it = _train_epochs(args, cfg, trainer, loader, state, rng, it,
                                epochs, timer, logger, model_dir, ckpt_dir,
                                save_variables, ckpt_writer,
-                               device_preprocess, jnp)
+                               device_preprocess, jnp, val_db)
     except KeyboardInterrupt:
         # graceful exit with final checkpoint (= pretrain_DAMSM.py:293-295)
         print("interrupted; saving final checkpoint")
@@ -326,7 +363,7 @@ def _abort_if_nonfinite(metrics, it, ckpt_dir):
 
 def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                   logger, model_dir, ckpt_dir, save_variables,
-                  ckpt_writer, device_preprocess, jnp):
+                  ckpt_writer, device_preprocess, jnp, val_db=None):
     import os
 
     from tgsr_tpu.data.pipeline import device_prefetch
@@ -369,6 +406,16 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
             if args.nan_check_every and it % args.nan_check_every == 0:
                 _abort_if_nonfinite(metrics, it, ckpt_dir)
             ema_ms = timer.tick()
+            if val_db is not None and it % args.eval_every == 0:
+                # EMA-generator quality on the fixed validation batch
+                # (= the weights a snapshot would ship)
+                em = trainer.eval_metrics(state.g_ema, state.g_stats,
+                                          val_db)
+                vm = {"val_psnr_y": float(em["psnr_y"]),
+                      "val_ssim_y": float(em["ssim_y"])}
+                print(f"epoch {epoch} it {it}: " + " ".join(
+                    f"{k}={v:.4f}" for k, v in vm.items()))
+                logger.log(it, **vm)
             if it % args.log_every == 0:
                 print(f"epoch {epoch} it {it}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))

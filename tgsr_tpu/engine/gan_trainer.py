@@ -172,6 +172,7 @@ class GANTrainer:
         self.loss_weights = dict(loss_weights or {})
         self.train_step = self._build_train_step()
         self._train_scan = None  # built lazily (compile cost)
+        self._eval_step = None  # built lazily by eval_metrics
 
     # -- init -----------------------------------------------------------------
 
@@ -279,6 +280,53 @@ class GANTrainer:
         fake = [f.astype(jnp.float32) for f in fake]
         fine = [f.astype(jnp.float32) for f in fine]
         return fake, fine, mu.astype(jnp.float32), logvar.astype(jnp.float32), new_stats
+
+    def eval_metrics(self, g_params, g_stats, batch) -> Dict[str, Any]:
+        """Eval-mode quality of the generator chain on a validation batch:
+        mean Y-channel PSNR (BT.601, the reference metric definition
+        trainer_objective.py:168-181) + SSIM of G(LR) vs the batch's GT
+        pyramid top. Pass `state.g_ema` for the EMA curve (the weights a
+        snapshot ships), `state.g_params` for the raw one. Jitted on first
+        use; eval-mode BN (running stats, no mutation), fixed CA-net key
+        (its c_code output is unused — deterministic, PARITY.md)."""
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step(g_params, g_stats, batch)
+
+    def _build_eval_step(self):
+        from tgsr_tpu.ops.image import (denormalize_to_uint8, psnr_batch,
+                                        rgb2y, ssim)
+
+        @jax.jit
+        def eval_fn(g_params, g_stats, batch):
+            words, sent = self.text_encoder.apply(
+                self.text_vars, batch["captions"], batch["cap_lens"])
+            mask = batch["captions"] == 0
+            lr = self._cast(batch["lr"])
+            fake, _, _, _ = self.netg.apply(
+                {"params": self._cast(g_params["netg"]),
+                 "batch_stats": self._cast(g_stats["netg"])},
+                lr, self._cast(sent), self._cast(words), mask,
+                rng=jax.random.PRNGKey(42), train=False)
+            if self.netgh.low != "lr":
+                from tgsr_tpu.ops.image import gaussian_blur
+
+                lr_blur = gaussian_blur(lr.astype(jnp.float32),
+                                        2.0).astype(lr.dtype)
+            else:
+                lr_blur = lr
+            fine, _, _ = self.netgh.apply(
+                {"params": self._cast(g_params["netgh"]),
+                 "batch_stats": self._cast(g_stats["netgh"])},
+                lr, fake, lr_blur, train=False)
+            sr8 = denormalize_to_uint8(fine[-1].astype(jnp.float32))
+            gt8 = denormalize_to_uint8(batch["real_pyramid"][-1])
+            y_sr = rgb2y(sr8).astype(jnp.float32)[..., None]
+            y_gt = rgb2y(gt8).astype(jnp.float32)[..., None]
+            return {"psnr_y": jnp.mean(psnr_batch(y_sr, y_gt)),
+                    "ssim_y": jnp.mean(ssim(y_sr, y_gt))}
+
+        return eval_fn
 
     def _d_closures(self, dnet, params, stats_cell, key):
         """Train-mode D closures (torch convention: D always runs in train
