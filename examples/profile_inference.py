@@ -6,9 +6,11 @@ Captures a jax.profiler trace of the bench's scan-of-microbatches program
 tensorboard_plugin_profile into an HLO-op self-time table — the data
 behind docs/PERF.md's "where the time goes".
 
-Usage: python examples/profile_inference.py [B] [M] [iters] [int8]
+Usage: python examples/profile_inference.py [B] [M] [iters] [int8] [x16]
 (`int8` anywhere in argv profiles the quantized serving config instead —
-shipped face_S8 scales, bf16 heads, value/gate splits.)
+shipped face_S8 scales, int8 heads, value/gate splits; `x16` profiles
+the models16 family at 32->512 with the seed-0 init + shipped
+x16_int8_scales, the same convention as examples/x16_bench.py.)
 """
 
 import glob
@@ -23,9 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "int8"]
+    args = [a for a in sys.argv[1:] if a not in ("int8", "x16")]
     int8 = "int8" in sys.argv[1:]
-    B = int(args[0]) if len(args) > 0 else 512
+    x16 = "x16" in sys.argv[1:]
+    B = int(args[0]) if len(args) > 0 else (256 if x16 else 512)
     M = int(args[1]) if len(args) > 1 else 2
     iters = int(args[2]) if len(args) > 2 else 2
 
@@ -54,14 +57,47 @@ def main():
         lens[i] = L
 
     scales = None
-    if int8:
-        from tgsr_tpu.engine import quant
+    if x16:
+        # models16 at its real 32->512 geometry, seed-0 init (no upstream
+        # x16 checkpoint exists) + shipped calibration artifact — the
+        # x16_bench.py convention
+        import dataclasses
 
-        scales = quant.face_s8_scales()
-    pipe = SRPipeline.from_reference_checkpoints(
-        cfg, vocab,
-        os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
-        compute_dtype=jnp.bfloat16, quant_scales=scales)
+        from tgsr_tpu.models.models16 import GSRNetLow16, NetGHighWeight16
+        from tgsr_tpu.models.text_encoder import TextEncoder
+
+        cfg = dataclasses.replace(
+            cfg, METHOD="S16",
+            TREE=dataclasses.replace(cfg.TREE, BRANCH_NUM=5, BASE_SIZE=32),
+            GAN=dataclasses.replace(cfg.GAN, GF_DIM=32))
+        if int8:
+            from tgsr_tpu.engine import quant
+
+            scales = quant.x16_scales()
+        k = jax.random.PRNGKey(0)
+        enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
+        caps0 = jnp.ones((2, T), jnp.int32)
+        lens0 = jnp.full((2,), 6, jnp.int32)
+        tv = enc.init(k, caps0, lens0)
+        words, sent = enc.apply(tv, caps0, lens0)
+        lr0 = jnp.zeros((2, 32, 32, 3))
+        netg = GSRNetLow16(ngf=32, c_dim=cfg.GAN.CONDITION_DIM)
+        gv = netg.init(k, lr0, sent, words, caps0 == 0)
+        fake, *_ = netg.apply(gv, lr0, sent, words, caps0 == 0)
+        netgh = NetGHighWeight16(ngf=32, low="lr",
+                                 sizes=tuple(cfg.pyramid_sizes()))
+        ghv = netgh.init(k, lr0, fake, lr0)
+        pipe = SRPipeline(cfg, vocab, tv, gv, ghv,
+                          compute_dtype=jnp.bfloat16, quant_scales=scales)
+    else:
+        if int8:
+            from tgsr_tpu.engine import quant
+
+            scales = quant.face_s8_scales()
+        pipe = SRPipeline.from_reference_checkpoints(
+            cfg, vocab,
+            os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
+            compute_dtype=jnp.bfloat16, quant_scales=scales)
 
     scan_checksum, _ = pipe.checksum_fns()
 

@@ -25,6 +25,9 @@ def test_aot_roundtrip_symbolic_batch(tmp_path):
     call, meta = load_serving(out)
     assert meta["batch"] == "symbolic" and meta["uint8"]
     assert meta["sr_size"] == 128 and meta["lr_size"] == 16
+    # the baked embedding table's vocab — cli.serve --aot refuses a
+    # mismatched --vocab_pickle against this
+    assert meta["n_words"] == 41
 
     # one artifact serves MULTIPLE batch sizes, each bit-equal to the
     # live pipeline's save-path output
@@ -65,6 +68,29 @@ def test_aot_pinned_batch_and_float(tmp_path):
         one[0], aot.sr_uint8(lr, caps, lens)[0])
     with pytest.raises(ValueError, match="pinned"):
         aot.sr_uint8(lr3, caps3, lens3)
+
+
+def test_aot_lr_size_override_meta(tmp_path):
+    """--lr_size overrides the traced LR geometry: the recorded sr_size
+    must scale with the ACTUAL lr_size (32 -> 256 at x8), not echo the
+    config's pyramid (previously always 128 here)."""
+    pipe = build_small_pipe()
+    out = export_serving(pipe, str(tmp_path / "aot32"), batch_size=1,
+                         lr_size=32)
+    call, meta = load_serving(out)
+    assert meta["lr_size"] == 32 and meta["sr_size"] == 256
+
+    rng = np.random.default_rng(4)
+    lr = rng.normal(0, 0.3, (1, 32, 32, 3)).astype(np.float32)
+    caps = np.zeros((1, 18), np.int32)
+    caps[:, :3] = rng.integers(1, 41, (1, 3))
+    lens = np.full((1,), 3, np.int32)
+    got = np.asarray(call(lr, caps, lens))
+    assert got.shape == (1, 256, 256, 3)  # meta matches the real output
+
+    from tgsr_tpu.engine.aot import AOTPipeline
+
+    assert AOTPipeline(str(tmp_path / "aot32")).cfg.scale == 8
 
 
 def test_aot_multiplatform_lowering(tmp_path):

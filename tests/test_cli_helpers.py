@@ -80,3 +80,27 @@ def test_rank_r_precision():
     assert out["sent_r@1"] == 1.0
     assert out["word_r@1"] == 1.0
     assert out["n"] == N
+
+
+def test_parse_mesh_arg():
+    from tgsr_tpu.parallel.mesh import parse_mesh_arg
+
+    assert parse_mesh_arg("8x1") == (8, 1)
+    assert parse_mesh_arg("4X2") == (4, 2)
+    for bad in ("8", "8x1x1", "ax1", "0x1", "8x-1", ""):
+        with pytest.raises(ValueError):
+            parse_mesh_arg(bad)
+
+
+def test_fast_forward_key_matches_chained_splits():
+    import jax
+
+    from tgsr_tpu.parallel.mesh import fast_forward_key
+
+    for index in (0, 1):
+        k = jax.random.PRNGKey(7)
+        for _ in range(5):
+            k = jax.random.split(k)[index]
+        np.testing.assert_array_equal(
+            np.asarray(fast_forward_key(jax.random.PRNGKey(7), 5, index)),
+            np.asarray(k))

@@ -98,6 +98,26 @@ def test_pretrain_damsm_cli_resume_matches_uninterrupted(face_fixture,
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         snap_a, snap_c)
 
+    # encoder pairing substitutes in the BASENAME only: a directory
+    # component containing 'text_encoder' must not be rewritten when
+    # resolving the paired image-encoder path (a silent text-only resume)
+    import shutil
+
+    sweep = tmp_path / "text_encoder_sweep"
+    sweep.mkdir()
+    for n in ("text_encoder0.msgpack", "image_encoder0.msgpack"):
+        shutil.copy(os.path.join(run_dir(out_b), "Model", n),
+                    str(sweep / n))
+    out_d = tmp_path / "d"
+    main(base + ["--out_dir", str(out_d), "--epochs", "2",
+                 "--resume_from", str(sweep / "text_encoder0.msgpack")])
+    snap_d = load_variables(
+        os.path.join(run_dir(out_d), "Model", "text_encoder1.msgpack"))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        snap_a, snap_d)
+
     # malformed snapshot name fails fast
     import pytest
 

@@ -1,0 +1,113 @@
+"""The COMPLETE product loop over the CLIs, chained on one dataset:
+
+  pretrain DAMSM (cli.pretrain_damsm, simple-cnn)  ->  train the GAN with
+  the trained encoders (cli.train_gan --text_encoder --image_encoder, so
+  the DAMSM words/sent terms are LIVE in the G objective, the full
+  miscc/losses.py:336-424 composite)  ->  load the trainer's own msgpack
+  snapshot pair back into the inference engine.
+
+Each leg is tested in isolation elsewhere; this guards the HANDOFFS —
+snapshot formats, vocab compatibility, encoder-family detection — which
+is where the round-3 review kept finding wiring holes (a simple-cnn
+image-encoder snapshot was previously unloadable by cli.train_gan, and
+msgpack generator snapshots unloadable by the eval path).
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+
+from tests.test_cli_train_gan import face_fixture  # noqa: F401
+
+
+def test_pretrain_train_infer_chain(face_fixture, tmp_path):  # noqa: F811
+    data_dir, gan_cfg = face_fixture
+
+    # ---- leg 1: DAMSM pretraining (simple-cnn trains without the
+    # unobtainable Inception zoo weights) ----
+    damsm_cfg = tmp_path / "damsm.yml"
+    damsm_cfg.write_text(
+        "CONFIG_NAME: 'DAMSM'\n"
+        "DATASET_NAME: 'face'\n"
+        f"DATA_DIR: '{data_dir}'\n"
+        "TREE:\n    BRANCH_NUM: 1\n    BASE_SIZE: 32\n"
+        "TRAIN:\n    FLAG: True\n    BATCH_SIZE: 2\n    MAX_EPOCH: 1\n"
+        "    SNAPSHOT_INTERVAL: 1\n"
+    )
+    from tgsr_tpu.cli.pretrain_damsm import main as damsm_main
+
+    damsm_out = tmp_path / "damsm_out"
+    damsm_main(["--cfg", str(damsm_cfg), "--data_dir", str(data_dir),
+                "--simple-cnn", "--out_dir", str(damsm_out),
+                "--epochs", "1"])
+    runs = glob.glob(str(damsm_out / "face_DAMSM_*"))
+    assert len(runs) == 1
+    text_enc = os.path.join(runs[0], "Model", "text_encoder0.msgpack")
+    image_enc = os.path.join(runs[0], "Model", "image_encoder0.msgpack")
+    assert os.path.exists(text_enc) and os.path.exists(image_enc)
+
+    # ---- leg 2: GAN training consuming BOTH encoders: the w_loss/s_loss
+    # DAMSM terms join the G composite (miscc/losses.py:365-372) ----
+    from tgsr_tpu.cli.train_gan import main as gan_main
+
+    gan_out = tmp_path / "gan_out"
+    gan_main(["--cfg", str(gan_cfg), "--data_dir", str(data_dir),
+              "--out_dir", str(gan_out), "--epochs", "1",
+              "--log_every", "1",
+              "--text_encoder", text_enc, "--image_encoder", image_enc])
+    rows = [json.loads(l) for l in
+            open(gan_out / "Log" / "metrics.jsonl")]
+    damsm_rows = [r for r in rows if "w_loss" in r and "s_loss" in r]
+    assert damsm_rows, f"DAMSM terms missing from the G metrics: {rows}"
+    assert all(np.isfinite(r["w_loss"]) and np.isfinite(r["s_loss"])
+               for r in damsm_rows)
+
+    snaps = sorted(glob.glob(str(gan_out / "Model" / "netG_it*.msgpack")))
+    assert snaps, os.listdir(gan_out / "Model")
+
+    # ---- leg 3: the trainer's OWN msgpack snapshot pair loads back into
+    # the inference engine through the same family-aware entry the .pth
+    # checkpoints use (load_generator_pair msgpack path) ----
+    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.data.datasets import TextFaceDataset
+    from tgsr_tpu.engine.inference import SRPipeline
+
+    cfg = config_from_file(str(gan_cfg))
+    ds = TextFaceDataset(str(data_dir), split="test",
+                         words_num=cfg.TEXT.WORDS_NUM, imsize=cfg.imsize)
+    pipe = SRPipeline.from_reference_checkpoints(
+        cfg, ds.n_words, snaps[-1], text_encoder_path=text_enc)
+
+    rng = np.random.default_rng(0)
+    lr = rng.normal(0, 0.3, (2, 8, 8, 3)).astype(np.float32)
+    caps = np.zeros((2, cfg.TEXT.WORDS_NUM), np.int32)
+    caps[:, :3] = rng.integers(1, ds.n_words, (2, 3))
+    lens = np.full((2,), 3, np.int32)
+    sr = pipe.sr_uint8(lr, caps, lens)
+    assert sr.shape == (2, 64, 64, 3) and sr.dtype == np.uint8
+    assert sr.std() > 0  # a real image, not a constant
+
+
+def test_load_generator_pair_msgpack_basename(tmp_path):
+    """load_generator_pair: msgpack snapshots load directly, and the
+    netG->netGH pairing substitutes in the basename only (a directory
+    named netG_* must not be rewritten)."""
+    from tgsr_tpu.checkpoints.convert_torch import load_generator_pair
+    from tgsr_tpu.checkpoints.io import save_variables
+    from tgsr_tpu.config import Config
+
+    d = tmp_path / "netG_sweep"   # adversarial directory name
+    d.mkdir()
+    gv = {"params": {"w": np.ones((2, 2), np.float32)}}
+    ghv = {"params": {"w": np.full((2, 2), 3.0, np.float32)}}
+    save_variables(str(d / "netG_it5.msgpack"), gv)
+    save_variables(str(d / "netGH_it5.msgpack"), ghv)
+
+    got_g, got_gh = load_generator_pair(Config(),
+                                        str(d / "netG_it5.msgpack"))
+    np.testing.assert_array_equal(np.asarray(got_g["params"]["w"]),
+                                  gv["params"]["w"])
+    np.testing.assert_array_equal(np.asarray(got_gh["params"]["w"]),
+                                  ghv["params"]["w"])

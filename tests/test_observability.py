@@ -114,11 +114,41 @@ def test_metrics_logger_tensorboard(tmp_path):
 def test_metrics_logger_csv(tmp_path):
     m = MetricsLogger(str(tmp_path), "train", csv=True)
     m.log(0, loss=1.5, lr=2e-4)
-    m.log(1, loss=0.5, lr=1e-4, extra=9.0)  # extra: JSONL-only (late key)
+    m.log(1, loss=0.5, lr=1e-4, extra=9.0)  # late key widens the header
     m.close()
     lines = open(tmp_path / "train.csv").read().splitlines()
-    assert lines[0] == "step,time,loss,lr"
-    assert lines[1].startswith("0,") and lines[1].endswith(",1.5,0.0002")
-    assert lines[2].startswith("1,") and lines[2].endswith(",0.5,0.0001")
+    assert lines[0] == "step,time,loss,lr,extra"
+    # the pre-widening row gained padding, not data
+    assert lines[1].startswith("0,") and lines[1].endswith(",1.5,0.0002,")
+    assert lines[2].startswith("1,") and lines[2].endswith(",0.5,0.0001,9.0")
     rows = [json.loads(l) for l in open(tmp_path / "train.jsonl")]
     assert rows[1]["extra"] == 9.0
+
+
+def test_metrics_logger_csv_interleaved_schemas(tmp_path):
+    """Interleaved metric families (train rows + --eval_every rows) must
+    BOTH land in the CSV — the first-row-wins header previously dropped
+    every training column when an eval row came first."""
+    m = MetricsLogger(str(tmp_path), "train", csv=True)
+    m.log(0, val_psnr_y=20.0)          # eval row fixes the initial header
+    m.log(0, d_loss=1.0, g_loss=2.0)   # train row must widen it
+    m.log(1, val_psnr_y=21.0)
+    m.close()
+    lines = open(tmp_path / "train.csv").read().splitlines()
+    assert lines[0] == "step,time,val_psnr_y,d_loss,g_loss"
+    assert lines[2].endswith(",1.0,2.0")          # losses present
+    assert lines[3].split(",")[2] == "21.0"       # eval rows pad the rest
+
+
+def test_metrics_logger_csv_resume_append(tmp_path):
+    """A resumed run appends to the existing CSV under the EXISTING header
+    (one file, one schema) instead of writing a second header mid-file."""
+    m = MetricsLogger(str(tmp_path), "train", csv=True)
+    m.log(0, loss=1.5)
+    m.close()
+    m2 = MetricsLogger(str(tmp_path), "train", csv=True)  # resume
+    m2.log(1, loss=0.7)
+    m2.close()
+    lines = open(tmp_path / "train.csv").read().splitlines()
+    assert lines[0] == "step,time,loss"
+    assert len(lines) == 3 and lines[2].endswith(",0.7")

@@ -157,6 +157,25 @@ def test_serve_main_arg_validation():
               "--int8"])
 
 
+def test_serve_aot_vocab_mismatch_refused(small_pipe, tmp_path):  # noqa: F811
+    """The AOT artifact bakes a 41-word embedding table; serving it with a
+    different vocab would gather out-of-bounds with no runtime error —
+    cli.serve must refuse the pickle up front."""
+    import pickle
+
+    from tgsr_tpu.cli.serve import main
+    from tgsr_tpu.engine.aot import export_serving
+
+    export_serving(small_pipe, str(tmp_path / "aot"))
+    words = ["<end>", "a", "bird"]  # 3 words != the baked 41
+    with open(tmp_path / "v.pickle", "wb") as f:
+        pickle.dump([[], dict(enumerate(words)),
+                     {w: i for i, w in enumerate(words)}], f)
+    with pytest.raises(SystemExit, match="vocabulary"):
+        main(["--aot", str(tmp_path / "aot"),
+              "--vocab_pickle", str(tmp_path / "v.pickle")])
+
+
 def test_http_serving_from_aot_artifact(small_pipe, tmp_path):  # noqa: F811
     """cli.serve over an engine.aot artifact: the HTTP result equals the
     live pipeline's, and native mode is cleanly rejected (fixed shapes)."""

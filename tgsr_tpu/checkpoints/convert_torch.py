@@ -20,6 +20,7 @@ no hard torch dependency.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -363,12 +364,23 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_generator_pair(cfg, netg_path: str, netgh_path: str = None):
-    """Family-aware netG/netGH conversion (ONE implementation of the
+    """Family-aware netG/netGH loading (ONE implementation of the
     reference's BRANCH_NUM==4 -> model.py else models16 switch,
     trainer_objective.py:74-88, incl. the netG->netGH name substitution
-    at :91-93 and the weightmap flag). Returns (netg_vars, netgh_vars)."""
+    at :91-93 and the weightmap flag). Returns (netg_vars, netgh_vars).
+
+    .pth paths run the torch converters; .msgpack paths (cli.train_gan's
+    own netG_it*/netGH_it* snapshots) load directly — so the eval CLI and
+    warm-start consume this framework's trained checkpoints too."""
     if netgh_path is None:
-        netgh_path = netg_path.replace("netG", "netGH")
+        # substitute in the basename only: a directory component
+        # containing 'netG' must not be rewritten
+        d, base = os.path.split(netg_path)
+        netgh_path = os.path.join(d, base.replace("netG", "netGH"))
+    if netg_path.endswith(".msgpack"):
+        from tgsr_tpu.checkpoints.io import load_variables
+
+        return load_variables(netg_path), load_variables(netgh_path)
     if cfg.TREE.BRANCH_NUM == 4:
         gv = convert_netg_low(load_torch_state_dict(netg_path),
                               n_stages=cfg.n_stages)

@@ -48,8 +48,9 @@ def main(argv=None):
                         help="mirror metrics to TensorBoard event files "
                              "under the run's Log/tb dir (JSONL always on)")
     parser.add_argument("--csv", action="store_true",
-                        help="mirror metrics to Log/metrics.csv (header "
-                             "fixed by the first row; JSONL is lossless)")
+                        help="mirror metrics to Log/metrics.csv (the header "
+                             "widens in place as new metric keys appear; "
+                             "JSONL is lossless)")
     parser.add_argument("--mesh", default="",
                         help="data-parallel training over a device mesh, "
                              "'DATAx1' (e.g. 8x1). DAMSM has no model axis "
@@ -111,10 +112,10 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        from tgsr_tpu.parallel.mesh import make_mesh
+        from tgsr_tpu.parallel.mesh import make_mesh, parse_mesh_arg
 
         try:
-            n_data, n_model = (int(t) for t in args.mesh.lower().split("x"))
+            n_data, n_model = parse_mesh_arg(args.mesh)
         except ValueError:
             parser.error(f"--mesh expects DATAx1 (e.g. 8x1), "
                          f"got {args.mesh!r}")
@@ -157,7 +158,12 @@ def main(argv=None):
                              f"text_encoder<N>.msgpack/.pth snapshot, "
                              f"got {args.resume_from!r}")
         start_epoch = max(int(m.group(1)) + 1, 0)
-        img_path = args.resume_from.replace("text_encoder", "image_encoder")
+        # pair by name substitution in the BASENAME only (the reference's
+        # convention, pretrain_DAMSM.py:177-179) — a directory component
+        # containing 'text_encoder' must not be rewritten too
+        d, base = os.path.split(args.resume_from)
+        img_path = os.path.join(d, base.replace("text_encoder",
+                                                "image_encoder"))
         if args.resume_from.endswith(".pth"):
             from tgsr_tpu.checkpoints.convert_torch import (
                 convert_cnn_encoder, convert_text_encoder,
@@ -260,9 +266,10 @@ def main(argv=None):
         # exact-resume: fit consumes one split per train batch
         # (rng = split(rng)[0]); replay the skipped epochs' splits so the
         # dropout stream continues the uninterrupted run's
-        rng = jax.jit(lambda k, n: jax.lax.fori_loop(
-            0, n, lambda _, kk: jax.random.split(kk)[0], k))(
-                rng, jnp.int32(start_epoch * len(train_loader)))
+        from tgsr_tpu.parallel.mesh import fast_forward_key
+
+        rng = fast_forward_key(rng, start_epoch * len(train_loader),
+                               index=0)
     try:
         # SIGTERM (TPU-VM preemption) takes the same graceful path as Ctrl-C
         with graceful_sigterm():

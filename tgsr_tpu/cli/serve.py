@@ -204,6 +204,15 @@ def main(argv=None):
 
         pipe = AOTPipeline(args.aot)
         vocab = load_vocab(args.vocab_pickle)
+        # the embedding table is baked into the StableHLO: ids from a
+        # mismatched vocab gather out-of-bounds with NO runtime error
+        # (XLA clamps), silently producing garbage — refuse up front
+        n_words = pipe.meta.get("n_words")
+        if n_words is not None and vocab.n_words != n_words:
+            raise SystemExit(
+                f"--vocab_pickle has {vocab.n_words} words but the AOT "
+                f"artifact was exported with a {n_words}-word vocabulary; "
+                f"serve the pickle the model was trained with")
     elif args.artifact:
         pipe, vocab = SRPipeline.load_artifact(
             args.artifact,

@@ -78,7 +78,10 @@ def main(argv=None):
     parser.add_argument("--data_dir", default="")
     parser.add_argument("--out_dir", default="./output_sr")
     parser.add_argument("--ckpt_dir", default="",
-                        help="directory holding netG/netGH .pth files")
+                        help="directory holding netG/netGH .pth files "
+                             "(cfg.TRAIN.NET_G may instead point at a "
+                             ".pth OR a cli.train_gan netG_it*.msgpack "
+                             "snapshot — netGH paired by name either way)")
     parser.add_argument("--text_encoder", default="",
                         help="trained text-encoder weights (.pth or .msgpack)")
     parser.add_argument("--batch", type=int, default=16)

@@ -61,7 +61,8 @@ def main(argv=None):
                              "files under --out_dir/Log/tb")
     parser.add_argument("--csv", action="store_true",
                         help="mirror the JSONL metrics to Log/metrics.csv "
-                             "(header fixed by the first row)")
+                             "(the header widens in place as new metric "
+                             "keys appear, e.g. --eval_every rows)")
     parser.add_argument("--eval_every", type=int, default=0,
                         help="every N steps, log PSNR-Y/SSIM of the EMA "
                              "generator on a fixed validation batch "
@@ -92,6 +93,7 @@ def main(argv=None):
                              "state memory per device")
     parser.add_argument("--init_netg", default="",
                         help="warm-start G from a reference netG_epoch_*.pth "
+                             "or this trainer's own netG_it*.msgpack "
                              "(netGH by name substitution; family-aware "
                              "converters). Defaults to cfg.TRAIN.NET_G when "
                              "that path exists — the reference's own resume "
@@ -161,20 +163,30 @@ def main(argv=None):
 
     image_encoder_apply = None
     if args.image_encoder:
-        from tgsr_tpu.models.image_encoder import CNNEncoder
+        from tgsr_tpu.models.image_encoder import (CNNEncoder,
+                                                   SimpleCNNEncoder)
 
-        cnn = CNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
-        cnn_vars = load_variables(args.image_encoder)
+        # jnp-coerce: the jitted G step closure-captures these leaves
+        # (numpy from msgpack would reject tracer indexing)
+        cnn_vars = jax.tree.map(jnp.asarray,
+                                load_variables(args.image_encoder))
+        # family auto-detect: a --simple-cnn DAMSM snapshot (the family
+        # that trains WITHOUT the unobtainable Inception zoo weights,
+        # cli.pretrain_damsm) has no inception backbone in its param tree
+        if "inception" in cnn_vars.get("params", {}):
+            cnn = CNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
+        else:
+            cnn = SimpleCNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
 
         def image_encoder_apply(img):
             return cnn.apply(cnn_vars, img)
 
     mesh = None
     if args.mesh:
-        from tgsr_tpu.parallel.mesh import make_mesh
+        from tgsr_tpu.parallel.mesh import make_mesh, parse_mesh_arg
 
         try:
-            n_data, n_model = (int(t) for t in args.mesh.lower().split("x"))
+            n_data, n_model = parse_mesh_arg(args.mesh)
         except ValueError:
             parser.error(f"--mesh expects DATAxMODEL (e.g. 8x1), "
                          f"got {args.mesh!r}")
@@ -274,9 +286,9 @@ def main(argv=None):
         # exact-resume contract: train_step returns split(rng)[1], so the
         # uninterrupted run's rng at step k is k chained splits of the
         # seed key -- replay them in one jitted loop (one dispatch)
-        rng = jax.jit(lambda k, n: jax.lax.fori_loop(
-            0, n, lambda _, kk: jax.random.split(kk)[1], k))(
-                rng, jnp.int32(start_step))
+        from tgsr_tpu.parallel.mesh import fast_forward_key
+
+        rng = fast_forward_key(rng, start_step, index=1)
     epochs = args.epochs or cfg.TRAIN.MAX_EPOCH
     it = start_step
     _LAST_STATE[0] = state  # before the try: a Ctrl-C landing inside
@@ -318,7 +330,15 @@ def _main_after_writer(args, cfg, trainer, loader, state, rng, it, epochs,
         print("no trained state to save")
         return
     try:
-        final_step = max(int(final.step), 1)
+        final_step = int(final.step)
+        if final_step == 0:
+            # an interrupt before the first step completed (e.g. during
+            # compile): there is nothing trained to save, and labeling the
+            # init state as step 1 would make --resume skip a batch and an
+            # rng split that never ran, silently diverging from the
+            # uninterrupted run
+            print("interrupted before the first step; nothing to save")
+            return
         ckpt_writer.wait()
         if ckpt_writer.latest_step() == final_step:
             # the periodic save already wrote this exact step (run length a

@@ -34,6 +34,8 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from tgsr_tpu.ops.image import denormalize_to_uint8
+
 _FORWARD_FILE = "forward.jaxexport"
 _META_FILE = "meta.json"
 
@@ -75,8 +77,7 @@ def export_serving(
         out = fwd(variables, lr, captions, cap_lens)
         sr = out["sr"]
         if uint8:
-            return jnp.round(
-                jnp.clip((sr + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
+            return denormalize_to_uint8(sr)
         return sr
 
     if batch_size is None:
@@ -100,7 +101,11 @@ def export_serving(
         "batch": "symbolic" if batch_size is None else int(batch_size),
         "uint8": uint8,
         "platforms": list(exp.platforms),
-        "sr_size": int(cfg.pyramid_sizes()[-1]),
+        # the traced output size scales with the ACTUAL lr_size, not the
+        # config's pyramid root (lr_size may override cfg.TREE.BASE_SIZE)
+        "sr_size": int(lr_size *
+                       (cfg.pyramid_sizes()[-1] // cfg.TREE.BASE_SIZE)),
+        "n_words": int(pipeline.text_encoder.vocab_size),
         "quantized": bool(pipeline.quant_scales),
         "compute_dtype": jnp.dtype(pipeline.compute_dtype).name,
     }

@@ -107,7 +107,11 @@ class GANTrainer:
         self.text_encoder = TextEncoder(
             vocab_size=vocab_size, nhidden=cfg.TEXT.EMBEDDING_DIM,
             rnn_type=cfg.RNN_TYPE)
-        self.text_vars = text_vars  # frozen DAMSM encoder
+        # frozen DAMSM encoder; coerce to device arrays — msgpack-loaded
+        # trees hold NUMPY leaves, and the jitted step closure-captures
+        # these, so the embedding table would be indexed by a tracer
+        # through numpy's __getitem__, which rejects it
+        self.text_vars = jax.tree.map(jnp.asarray, text_vars)
         self.image_encoder_apply = image_encoder_apply
 
         # remat rematerializes G activations in the backward (jax.checkpoint

@@ -36,6 +36,33 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
+def parse_mesh_arg(spec: str) -> tuple:
+    """Parse a CLI mesh spec 'DATAxMODEL' (e.g. '8x1') -> (n_data, n_model).
+    Raises ValueError on anything else — the CLIs turn that into a
+    parser.error. Shared by cli.train_gan / cli.pretrain_damsm so the two
+    entry points cannot drift apart."""
+    parts = spec.lower().split("x")
+    if len(parts) != 2:
+        raise ValueError(spec)
+    n_data, n_model = (int(t) for t in parts)
+    if n_data < 1 or n_model < 1:
+        raise ValueError(spec)
+    return n_data, n_model
+
+
+def fast_forward_key(key, n: int, index: int):
+    """Replay `n` chained jax.random.split steps of a training rng stream
+    in one jitted dispatch: key_{k+1} = split(key_k)[index]. The exact-
+    resume machinery in both training CLIs uses this to continue the
+    uninterrupted run's per-step rng chain (GANTrainer returns split[1],
+    DAMSMTrainer.fit consumes split[0])."""
+    import jax.numpy as jnp
+
+    return jax.jit(lambda k, m: jax.lax.fori_loop(
+        0, m, lambda _, kk: jax.random.split(kk)[index], k))(
+            key, jnp.int32(n))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard axis 0 over 'data', replicate the rest."""
     spec = P("data", *([None] * (ndim - 1)))

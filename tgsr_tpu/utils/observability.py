@@ -74,12 +74,23 @@ class MetricsLogger:
                 self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
             except Exception as e:  # missing/broken optional dep
                 print(f"tensorboard writer unavailable ({e}); JSONL only")
-        # CSV mirror: one row per log() call, header fixed by the FIRST
-        # row's keys (later unseen keys are dropped from the CSV — the
-        # JSONL stream is the lossless record)
-        self._csv = open(os.path.join(log_dir, f"{name}.csv"), "a",
-                         buffering=1) if csv else None
+        # CSV mirror: one row per log() call. The schema may evolve —
+        # interleaved streams (train metrics + --eval_every rows) and
+        # resume-append must not silently drop columns: the header is the
+        # UNION of all keys seen, widened in place when a new key appears
+        # (the file is one row per log call — a rewrite is cheap), and an
+        # existing file's header is adopted on append so one file never
+        # carries two schemas. JSONL stays the lossless record.
+        self._csv_path = os.path.join(log_dir, f"{name}.csv")
+        self._csv = None
         self._csv_cols = None
+        if csv:
+            if (os.path.exists(self._csv_path)
+                    and os.path.getsize(self._csv_path)):
+                with open(self._csv_path) as f:
+                    header = f.readline().strip()
+                self._csv_cols = header.split(",") if header else None
+            self._csv = open(self._csv_path, "a", buffering=1)
 
     def log(self, step: int, **metrics) -> None:
         row = {"step": int(step), "time": time.time()}
@@ -98,6 +109,20 @@ class MetricsLogger:
             if self._csv_cols is None:
                 self._csv_cols = list(row)
                 self._csv.write(",".join(self._csv_cols) + "\n")
+            elif any(k not in self._csv_cols for k in row):
+                # widen the header in place: existing columns keep their
+                # order (new keys append), so old rows only gain padding
+                self._csv_cols += [k for k in row
+                                   if k not in self._csv_cols]
+                self._csv.close()
+                with open(self._csv_path) as f:
+                    old = f.read().splitlines()[1:]
+                with open(self._csv_path, "w") as f:
+                    f.write(",".join(self._csv_cols) + "\n")
+                    for line in old:
+                        pad = len(self._csv_cols) - (line.count(",") + 1)
+                        f.write(line + "," * pad + "\n")
+                self._csv = open(self._csv_path, "a", buffering=1)
             self._csv.write(",".join(str(row.get(c, ""))
                                      for c in self._csv_cols) + "\n")
 
