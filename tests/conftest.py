@@ -29,3 +29,31 @@ REFERENCE_ROOT = "/root/reference"
 
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
+
+
+def make_celeba_fixture(tmp_path, n_train=4, n_test=2, img_size=64):
+    """Shared synthetic CelebA-format fixture: attr table + NOISE images
+    (constant images NaN through train-mode BN -- CLAUDE.md trap) under
+    tmp_path. attr index 10 'Blurry' == 1 selects the test split
+    (TextFaceDataset convention, reference datasets.py:934-961); attr 0 is
+    forced positive so every caption is nonempty. Returns tmp_path; the
+    caller writes its own config YAML next to it."""
+    import numpy as np
+    from PIL import Image
+
+    attrs = ["Attractive", "Young", "Smiling", "Male", "BlackHair",
+             "BlondHair", "Eyeglasses", "Bangs", "BigLips", "BigNose",
+             "Blurry", "Chubby"]
+    rng = np.random.RandomState(0)
+    rows = [" ".join(attrs) + " "]
+    img_dir = tmp_path / "Img"
+    img_dir.mkdir()
+    for i in range(n_train + n_test):
+        vals = ["1" if rng.rand() < 0.5 else "0" for _ in attrs]
+        vals[10] = "0" if i < n_train else "1"
+        vals[0] = "1"
+        rows.append(f"{i:06d}.jpg " + " ".join(vals))
+        im = (rng.rand(img_size, img_size, 3) * 255).astype(np.uint8)
+        Image.fromarray(im).save(img_dir / f"{i:06d}.png")
+    (tmp_path / "list_attr_celeba.txt").write_text("\n".join(rows) + "\n")
+    return tmp_path

@@ -7,27 +7,13 @@ import os
 
 import numpy as np
 import pytest
-from PIL import Image
 
 
 @pytest.fixture()
 def face_fixture(tmp_path):
-    attrs = ["Attractive", "Young", "Smiling", "Male", "BlackHair",
-             "BlondHair", "Eyeglasses", "Bangs", "BigLips", "BigNose",
-             "Blurry", "Chubby"]
-    rng = np.random.RandomState(0)
-    rows = [" ".join(attrs) + " "]
-    img_dir = tmp_path / "Img"
-    img_dir.mkdir()
-    for i in range(6):
-        vals = ["1" if rng.rand() < 0.5 else "0" for _ in attrs]
-        vals[10] = "1" if i >= 4 else "0"  # 4 train / 2 test (Blurry attr)
-        vals[0] = "1"
-        rows.append(f"{i:06d}.jpg " + " ".join(vals))
-        im = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
-        Image.fromarray(im).save(img_dir / f"{i:06d}.png")
-    (tmp_path / "list_attr_celeba.txt").write_text("\n".join(rows) + "\n")
+    from tests.conftest import make_celeba_fixture
 
+    make_celeba_fixture(tmp_path, n_train=4, n_test=2, img_size=48)
     cfg = tmp_path / "damsm_face.yml"
     cfg.write_text(
         "CONFIG_NAME: 'smoke'\n"

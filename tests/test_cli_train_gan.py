@@ -10,30 +10,15 @@ import os
 
 import numpy as np
 import pytest
-from PIL import Image
 
 
 @pytest.fixture()
 def face_fixture(tmp_path):
-    """Synthetic CelebA attr table + noise images (constant images NaN
-    through train-mode BN -- CLAUDE.md trap)."""
-    attrs = ["Attractive", "Young", "Smiling", "Male", "BlackHair",
-             "BlondHair", "Eyeglasses", "Bangs", "BigLips", "BigNose",
-             "Blurry", "Chubby"]
-    rng = np.random.RandomState(0)
-    rows = [" ".join(attrs) + " "]
-    img_dir = tmp_path / "Img"
-    img_dir.mkdir()
-    for i in range(6):
-        vals = ["1" if rng.rand() < 0.5 else "0" for _ in attrs]
-        # attr[11] == Blurry: 0 -> train split (4 imgs), 1 -> test (2)
-        vals[10] = "0" if i < 4 else "1"
-        vals[0] = "1"    # at least one positive attribute (caption nonempty)
-        rows.append(f"{i:06d}.jpg " + " ".join(vals))
-        im = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
-        Image.fromarray(im).save(img_dir / f"{i:06d}.png")
-    (tmp_path / "list_attr_celeba.txt").write_text("\n".join(rows) + "\n")
+    """Synthetic CelebA attr table + noise images (tests.conftest builder;
+    4 train / 2 test via the Blurry attr)."""
+    from tests.conftest import make_celeba_fixture
 
+    make_celeba_fixture(tmp_path, n_train=4, n_test=2, img_size=64)
     cfg = tmp_path / "train_face.yml"
     cfg.write_text(
         "CONFIG_NAME: 'smoke'\n"

@@ -13,9 +13,7 @@ import sys
 import threading
 import time
 
-import numpy as np
 import pytest
-from PIL import Image
 
 from tgsr_tpu.utils.preemption import graceful_sigterm
 
@@ -50,23 +48,10 @@ def test_noop_outside_main_thread():
 
 
 def _face_fixture(tmp_path):
-    # same synthetic CelebA-format fixture as test_cli_train_gan.py
-    # (noise images: constant images NaN through train-mode BN)
-    attrs = ["Attractive", "Young", "Smiling", "Male", "BlackHair",
-             "BlondHair", "Eyeglasses", "Bangs", "BigLips", "BigNose",
-             "Blurry", "Chubby"]
-    rng = np.random.RandomState(0)
-    rows = [" ".join(attrs) + " "]
-    img_dir = tmp_path / "Img"
-    img_dir.mkdir()
-    for i in range(4):
-        vals = ["1" if rng.rand() < 0.5 else "0" for _ in attrs]
-        vals[10] = "0"
-        vals[0] = "1"
-        rows.append(f"{i:06d}.jpg " + " ".join(vals))
-        im = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
-        Image.fromarray(im).save(img_dir / f"{i:06d}.png")
-    (tmp_path / "list_attr_celeba.txt").write_text("\n".join(rows) + "\n")
+    # shared synthetic CelebA-format fixture (tests.conftest builder)
+    from tests.conftest import make_celeba_fixture
+
+    make_celeba_fixture(tmp_path, n_train=4, n_test=0, img_size=64)
     cfg = tmp_path / "train_face.yml"
     cfg.write_text(
         "CONFIG_NAME: 'smoke'\n"

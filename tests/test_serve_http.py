@@ -176,6 +176,62 @@ def test_serve_aot_vocab_mismatch_refused(small_pipe, tmp_path):  # noqa: F811
               "--vocab_pickle", str(tmp_path / "v.pickle")])
 
 
+def test_aot_pinned_batch_serving_clamped(small_pipe, tmp_path):  # noqa: F811
+    """A pinned-batch AOT artifact must clamp the serving batch plan:
+    previously serve --aot with --max_batch above the pin crashed at
+    warmup (planned size > pin) and 500'd any larger coalesced batch."""
+    from tgsr_tpu.cli.serve import aot_max_batch
+    from tgsr_tpu.engine.aot import AOTPipeline, export_serving
+
+    export_serving(small_pipe, str(tmp_path / "aot"), batch_size=2)
+    aot = AOTPipeline(str(tmp_path / "aot"))
+    assert aot_max_batch(aot.meta, 32) == 2      # pinned: clamp
+    assert aot_max_batch(aot.meta, 1) == 1       # below the pin: keep
+    sym = {"batch": "symbolic"}
+    assert aot_max_batch(sym, 32) == 32          # symbolic: pass through
+
+    words = ["<end>", "a", "big", "nose", "smiling"]
+    vocab = Vocab(dict(enumerate(words)), {w: i for i, w in enumerate(words)})
+    httpd = make_server(aot, vocab, port=0,
+                        max_batch=aot_max_batch(aot.meta, 32),
+                        max_delay_ms=10, lr_size=16)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        httpd.batcher.warmup()  # crashed before the clamp (planned 4 > pin 2)
+        port = httpd.server_address[1]
+        rng = np.random.default_rng(11)
+        img = Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        results = {}
+
+        def worker(i):  # 3 concurrent > pin 2: must coalesce into <=2s
+            results[i] = _post_sr(port, buf.getvalue(), "a big nose")
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        lr = np.asarray(img.resize((16, 16), Image.BICUBIC),
+                        np.float32) / 127.5 - 1.0
+        cap, n = encode_caption_text("a big nose", vocab, 18)
+        direct = small_pipe.sr_uint8(lr[None], cap[None],
+                                     np.asarray([n], np.int32))[0]
+        for i in range(3):
+            status, body = results[i]
+            assert status == 200
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(io.BytesIO(body))), direct)
+    finally:
+        httpd.shutdown()
+        httpd.batcher.close()
+        t.join(timeout=10)
+
+
 def test_http_serving_from_aot_artifact(small_pipe, tmp_path):  # noqa: F811
     """cli.serve over an engine.aot artifact: the HTTP result equals the
     live pipeline's, and native mode is cleanly rejected (fixed shapes)."""

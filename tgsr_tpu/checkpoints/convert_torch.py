@@ -355,6 +355,16 @@ def convert_cnn_encoder(sd: Mapping, nef: int = 256) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def paired_path(path: str, a: str, b: str) -> str:
+    """The reference's checkpoint-pairing convention: the companion file
+    is named by substituting `a`->`b` in the BASENAME only (netG->netGH,
+    trainer_objective.py:91-93; text_encoder->image_encoder,
+    pretrain_DAMSM.py:177-179). A directory component containing `a`
+    must not be rewritten."""
+    d, base = os.path.split(path)
+    return os.path.join(d, base.replace(a, b))
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth state dict into numpy (torch CPU available in this env)."""
     import torch
@@ -373,10 +383,7 @@ def load_generator_pair(cfg, netg_path: str, netgh_path: str = None):
     own netG_it*/netGH_it* snapshots) load directly — so the eval CLI and
     warm-start consume this framework's trained checkpoints too."""
     if netgh_path is None:
-        # substitute in the basename only: a directory component
-        # containing 'netG' must not be rewritten
-        d, base = os.path.split(netg_path)
-        netgh_path = os.path.join(d, base.replace("netG", "netGH"))
+        netgh_path = paired_path(netg_path, "netG", "netGH")
     if netg_path.endswith(".msgpack"):
         from tgsr_tpu.checkpoints.io import load_variables
 

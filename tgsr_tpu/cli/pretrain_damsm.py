@@ -158,12 +158,10 @@ def main(argv=None):
                              f"text_encoder<N>.msgpack/.pth snapshot, "
                              f"got {args.resume_from!r}")
         start_epoch = max(int(m.group(1)) + 1, 0)
-        # pair by name substitution in the BASENAME only (the reference's
-        # convention, pretrain_DAMSM.py:177-179) — a directory component
-        # containing 'text_encoder' must not be rewritten too
-        d, base = os.path.split(args.resume_from)
-        img_path = os.path.join(d, base.replace("text_encoder",
-                                                "image_encoder"))
+        from tgsr_tpu.checkpoints.convert_torch import paired_path
+
+        img_path = paired_path(args.resume_from,
+                               "text_encoder", "image_encoder")
         if args.resume_from.endswith(".pth"):
             from tgsr_tpu.checkpoints.convert_torch import (
                 convert_cnn_encoder, convert_text_encoder,

@@ -44,6 +44,17 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+def aot_max_batch(meta, requested: int) -> int:
+    """A pinned-batch AOT export (export_serving batch_size=N) can only
+    run batches <= N: clamp the serving batch plan so warmup and coalesced
+    batches never exceed the pin (AOTPipeline pads short batches up to it).
+    Symbolic-batch artifacts pass `requested` through."""
+    pin = meta.get("batch")
+    if isinstance(pin, int) and requested > pin:
+        return pin
+    return requested
+
+
 def encode_caption_text(text: str, vocab, words_num: int):
     """Caption string -> ([T] int32 ids, length) with the training-side
     tokenizer + encoder (RegexpTokenizer semantics datasets.py:355-360;
@@ -213,6 +224,11 @@ def main(argv=None):
                 f"--vocab_pickle has {vocab.n_words} words but the AOT "
                 f"artifact was exported with a {n_words}-word vocabulary; "
                 f"serve the pickle the model was trained with")
+        clamped = aot_max_batch(pipe.meta, args.max_batch)
+        if clamped != args.max_batch:
+            print(f"[serve] artifact pins batch {clamped}: clamping "
+                  f"--max_batch {args.max_batch} -> {clamped}", flush=True)
+            args.max_batch = clamped
     elif args.artifact:
         pipe, vocab = SRPipeline.load_artifact(
             args.artifact,

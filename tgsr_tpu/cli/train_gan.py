@@ -293,70 +293,61 @@ def main(argv=None):
     it = start_step
     _LAST_STATE[0] = state  # before the try: a Ctrl-C landing inside
     # _train_epochs' prologue must still find a saveable state
-    # one persistent ASYNC writer for every periodic snapshot: save()
-    # returns after the device->host copy, the disk write overlaps the
-    # next train steps (orbax_io.TrainCheckpointer); close() below joins
-    # any in-flight write on every exit path (incl. the NaN-abort
-    # SystemExit)
-    ckpt_writer = TrainCheckpointer(ckpt_dir)
-    try:
-        _main_after_writer(args, cfg, trainer, loader, state, rng, it,
-                           epochs, timer, logger, model_dir, ckpt_dir,
-                           save_variables, ckpt_writer, device_preprocess,
-                           jnp, val_db)
-    finally:
-        ckpt_writer.close()
-        logger.close()  # flushes TB event files when --tensorboard
+    from contextlib import closing
 
-
-def _main_after_writer(args, cfg, trainer, loader, state, rng, it, epochs,
-                       timer, logger, model_dir, ckpt_dir, save_variables,
-                       ckpt_writer, device_preprocess, jnp, val_db=None):
     from tgsr_tpu.utils.preemption import graceful_sigterm
 
-    try:
-        # SIGTERM (TPU-VM preemption, scheduler eviction) takes the same
-        # graceful path as Ctrl-C: final checkpoint + writer join
-        with graceful_sigterm():
-            it = _train_epochs(args, cfg, trainer, loader, state, rng, it,
-                               epochs, timer, logger, model_dir, ckpt_dir,
-                               save_variables, ckpt_writer,
-                               device_preprocess, jnp, val_db)
-    except KeyboardInterrupt:
-        # graceful exit with final checkpoint (= pretrain_DAMSM.py:293-295)
-        print("interrupted; saving final checkpoint")
-    final = _LAST_STATE[0]
-    if final is None:
-        print("no trained state to save")
-        return
-    try:
-        final_step = int(final.step)
-        if final_step == 0:
-            # an interrupt before the first step completed (e.g. during
-            # compile): there is nothing trained to save, and labeling the
-            # init state as step 1 would make --resume skip a batch and an
-            # rng split that never ran, silently diverging from the
-            # uninterrupted run
-            print("interrupted before the first step; nothing to save")
+    # one persistent ASYNC writer for every periodic snapshot: save()
+    # returns after the device->host copy, the disk write overlaps the
+    # next train steps (orbax_io.TrainCheckpointer); __exit__ joins any
+    # in-flight write on every exit path (incl. the NaN-abort SystemExit);
+    # closing(logger) flushes TB event files when --tensorboard
+    with closing(logger), TrainCheckpointer(ckpt_dir) as ckpt_writer:
+        try:
+            # SIGTERM (TPU-VM preemption, scheduler eviction) takes the
+            # same graceful path as Ctrl-C: final checkpoint + writer join
+            with graceful_sigterm():
+                it = _train_epochs(args, cfg, trainer, loader, state, rng,
+                                   it, epochs, timer, logger, model_dir,
+                                   ckpt_dir, save_variables, ckpt_writer,
+                                   device_preprocess, jnp, val_db)
+        except KeyboardInterrupt:
+            # graceful exit with final checkpoint (= pretrain_DAMSM.py:293-295)
+            print("interrupted; saving final checkpoint")
+        final = _LAST_STATE[0]
+        if final is None:
+            print("no trained state to save")
             return
-        ckpt_writer.wait()
-        if ckpt_writer.latest_step() == final_step:
-            # the periodic save already wrote this exact step (run length a
-            # multiple of the snapshot interval); orbax would raise
-            # StepAlreadyExistsError on a duplicate
-            print("training done;", final_step, "steps; checkpoints in",
-                  ckpt_dir)
+        try:
+            final_step = int(final.step)
+            if final_step == 0:
+                # an interrupt before the first step completed (e.g. during
+                # compile): there is nothing trained to save, and labeling
+                # the init state as step 1 would make --resume skip a batch
+                # and an rng split that never ran, silently diverging from
+                # the uninterrupted run
+                print("interrupted before the first step; nothing to save")
+                return
+            ckpt_writer.wait()
+            if ckpt_writer.latest_step() == final_step:
+                # the periodic save already wrote this exact step (run
+                # length a multiple of the snapshot interval); orbax would
+                # raise StepAlreadyExistsError on a duplicate
+                print("training done;", final_step, "steps; checkpoints in",
+                      ckpt_dir)
+                return
+            ckpt_writer.save(final_step, final)
+            ckpt_writer.wait()
+        except (RuntimeError, ValueError) as e:
+            # RuntimeError: a Ctrl-C mid-step can leave _LAST_STATE holding
+            # the donated (invalidated) input buffers; ValueError covers
+            # orbax's StepAlreadyExistsError race -- either way the last
+            # periodic checkpoint stands
+            print(f"final state unsaveable ({e}); "
+                  f"last periodic checkpoint stands")
             return
-        ckpt_writer.save(final_step, final)
-        ckpt_writer.wait()
-    except (RuntimeError, ValueError) as e:
-        # RuntimeError: a Ctrl-C mid-step can leave _LAST_STATE holding the
-        # donated (invalidated) input buffers; ValueError covers orbax's
-        # StepAlreadyExistsError race -- either way the last periodic
-        # checkpoint stands
-        print(f"final state unsaveable ({e}); last periodic checkpoint stands")
-        return
-    print("training done;", final_step, "steps; checkpoints in", ckpt_dir)
+        print("training done;", final_step, "steps; checkpoints in",
+              ckpt_dir)
 
 
 _LAST_STATE = [None]

@@ -125,8 +125,16 @@ def load_serving(path: str) -> Tuple[Callable, Dict[str, Any]]:
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
 
+    # jit the wrapper: Exported.call is traceable, and without the jit
+    # every serving dispatch would re-trace the deserialized module
+    # eagerly (no executable cache — ruinous on remote-dispatch stacks);
+    # under jit each concrete batch shape compiles once and caches.
+    @jax.jit
+    def _compiled(lr, captions, cap_lens):
+        return exp.call(lr, captions, cap_lens)
+
     def call(lr, captions, cap_lens):
-        return exp.call(
+        return _compiled(
             jnp.asarray(lr, jnp.float32),
             jnp.asarray(captions, jnp.int32),
             jnp.asarray(cap_lens, jnp.int32),
