@@ -144,3 +144,23 @@ def test_pretrain_damsm_cli_mesh_validation(face_fixture, tmp_path):
             main(["--cfg", str(cfg), "--data_dir", str(data_dir),
                   "--out_dir", str(tmp_path / "x"), "--epochs", "1",
                   "--simple-cnn", "--mesh", bad])
+
+
+def test_resume_encoder_family_mismatch_refused():
+    """A family-mismatched --resume_from image encoder must refuse loudly:
+    the resume merge is a dict union (keeps initialized heads for bare zoo
+    backbones), so Inception params over a SimpleCNN run (or vice versa)
+    would silently build a union tree matching neither the model nor the
+    optimizer state."""
+    import pytest
+
+    from tgsr_tpu.cli.pretrain_damsm import check_encoder_family
+
+    inception = {"inception": {}, "emb_features": {}}
+    simple = {"conv0": {}, "emb_features": {}}
+    check_encoder_family(inception, inception, "x")   # matched: fine
+    check_encoder_family(simple, simple, "x")
+    with pytest.raises(SystemExit, match="pass --simple-cnn"):
+        check_encoder_family(simple, inception, "img0.msgpack")
+    with pytest.raises(SystemExit, match="drop --simple-cnn"):
+        check_encoder_family(inception, simple, "img0.msgpack")

@@ -211,6 +211,37 @@ def test_export_cli_roundtrip(tmp_path):
     _assert_roundtrip(sd_gh, {k: v.numpy() for k, v in back_gh.items()})
 
 
+def test_simple_cnn_snapshot_skipped(tmp_path):
+    """--simple-cnn DAMSM snapshots (the no-zoo default mode) have no
+    reference torch module: export_cnn_encoder refuses them clearly, and
+    the CLI skips the paired image encoder while still exporting the
+    text encoder (previously a KeyError traceback after a partial write)."""
+    from tgsr_tpu.checkpoints.io import save_variables
+    from tgsr_tpu.cli.export_torch import main
+
+    simple_vars = {"params": {"conv0": {"kernel": np.zeros((3, 3, 3, 8),
+                                                           np.float32)}},
+                   "batch_stats": {}}
+    with pytest.raises(ValueError, match="SimpleCNN"):
+        export_cnn_encoder(simple_vars)
+
+    torch.manual_seed(3)
+    emb = torch.nn.Embedding(11, 32)
+    rnn = torch.nn.LSTM(32, 16, batch_first=True, bidirectional=True)
+    sd = {"encoder.weight": emb.weight.detach().numpy()}
+    for name, p in rnn.named_parameters():
+        sd[f"rnn.{name}"] = p.detach().numpy()
+    save_variables(str(tmp_path / "text_encoder0.msgpack"),
+                   convert_text_encoder(sd))
+    save_variables(str(tmp_path / "image_encoder0.msgpack"), simple_vars)
+
+    out = tmp_path / "exported"
+    main(["--text_encoder", str(tmp_path / "text_encoder0.msgpack"),
+          "--out", str(out)])
+    assert (out / "text_encoder0.pth").exists()
+    assert not (out / "image_encoder0.pth").exists()
+
+
 def test_save_torch_roundtrip(tmp_path):
     """save_torch writes a weights_only-loadable .pth."""
     sd = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),

@@ -197,8 +197,16 @@ def export_text_encoder(variables: Mapping) -> Dict[str, Any]:
 def export_cnn_encoder(variables: Mapping) -> Dict[str, Any]:
     """CNNEncoder variables -> DAMSM image_encoder state dict
     (CNN_ENCODER, util.py:263-368; backbone under the torchvision
-    inception_v3 module names). Inverse of convert_cnn_encoder."""
+    inception_v3 module names). Inverse of convert_cnn_encoder.
+
+    Only Inception-family trees export: the reference has no torch module
+    matching SimpleCNNEncoder (the no-zoo fallback), so those snapshots
+    are rejected with a clear error instead of a KeyError."""
     params, stats = variables["params"], variables["batch_stats"]
+    if "inception" not in params:
+        raise ValueError(
+            "not an Inception-family image-encoder tree (SimpleCNNEncoder "
+            "snapshots have no reference torch counterpart to export to)")
     out: Dict[str, np.ndarray] = {}
 
     def walk(p: Mapping, s: Mapping, path: str) -> None:

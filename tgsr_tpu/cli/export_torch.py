@@ -93,9 +93,16 @@ def main(argv=None):
                                "text_encoder", "image_encoder")
         if os.path.exists(img_path):
             iv = load_variables(img_path)
-            dst = os.path.join(args.out, _pth_name(img_path))
-            save_torch(export_cnn_encoder(iv), dst)
-            written.append(dst)
+            if "inception" in iv["params"]:
+                dst = os.path.join(args.out, _pth_name(img_path))
+                save_torch(export_cnn_encoder(iv), dst)
+                written.append(dst)
+            else:
+                # --simple-cnn snapshots (the no-zoo default mode) have no
+                # reference torch module to export to; the text encoder
+                # still exports
+                print(f"skipping {img_path}: SimpleCNNEncoder snapshot "
+                      f"has no reference torch counterpart")
 
     for p in written:
         print(f"exported {p}")

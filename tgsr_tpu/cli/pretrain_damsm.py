@@ -19,6 +19,23 @@ import pprint
 import numpy as np
 
 
+def check_encoder_family(snap_params, live_params, img_path: str) -> None:
+    """Refuse a family-mismatched --resume_from image encoder: the resume
+    merge keeps initialized heads when a snapshot lacks them (bare zoo
+    backbone), so an Inception/SimpleCNN mismatch would silently build a
+    union tree matching neither the model nor the optimizer state."""
+    snap_simple = "inception" not in snap_params
+    live_simple = "inception" not in live_params
+    if snap_simple != live_simple:
+        raise SystemExit(
+            f"--resume_from image encoder {img_path} is a "
+            f"{'SimpleCNN' if snap_simple else 'Inception'} snapshot but "
+            f"this run builds a "
+            f"{'SimpleCNN' if live_simple else 'Inception'} encoder; "
+            f"{'pass --simple-cnn' if snap_simple else 'drop --simple-cnn'} "
+            f"to match the snapshot's family")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train DAMSM encoders")
     parser.add_argument("--cfg", dest="cfg_file", required=True)
@@ -179,6 +196,7 @@ def main(argv=None):
                   if os.path.exists(img_path) else None)
         state = state.replace(text_params=tv["params"])
         if iv is not None:
+            check_encoder_family(iv["params"], state.cnn_params, img_path)
             state = state.replace(
                 cnn_params={**state.cnn_params, **iv["params"]},
                 cnn_stats={**state.cnn_stats,

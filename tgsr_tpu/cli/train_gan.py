@@ -229,8 +229,10 @@ def main(argv=None):
                      "netgh": ghv.get("batch_stats", {})},
             g_ema=jax.tree.map(jnp.copy, g_params),
         )
+        from tgsr_tpu.checkpoints.convert_torch import paired_path
+
         print(f"warm-started G from {init_netg} "
-              f"(+{init_netg.replace('netG', 'netGH')})")
+              f"(+{paired_path(init_netg, 'netG', 'netGH')})")
     elif args.init_netg:
         raise SystemExit(f"--init_netg not found: {args.init_netg}")
 
