@@ -89,6 +89,55 @@ def test_pretrain_train_infer_chain(face_fixture, tmp_path):  # noqa: F811
     assert sr.shape == (2, 64, 64, 3) and sr.dtype == np.uint8
     assert sr.std() > 0  # a real image, not a constant
 
+    # ---- leg 4: reverse migration — the trainer's own snapshots export
+    # to .pth via cli.export_torch and load strict=True into the
+    # REFERENCE's torch modules (trained trees, not just converted ones:
+    # guards e.g. the trained blend `a` being correctly dropped) ----
+    from tests.conftest import has_reference
+
+    if has_reference():
+        import torch
+
+        from tests.reference_oracle import load_reference
+        from tgsr_tpu.cli.export_torch import main as export_main
+
+        exported = tmp_path / "exported"
+        export_main(["--cfg", str(gan_cfg), "--netg", snaps[-1],
+                     "--out", str(exported)])
+        pth_g = glob.glob(str(exported / "netG_it*.pth"))
+        pth_gh = glob.glob(str(exported / "netGH_it*.pth"))
+        assert len(pth_g) == 1 and len(pth_gh) == 1
+
+        ref = load_reference()
+        rcfg, model = ref["cfg"], ref["model"]
+        saved = (rcfg.GAN.GF_DIM, rcfg.TREE.BRANCH_NUM, rcfg.TREE.BASE_SIZE)
+        rcfg.GAN.GF_DIM = cfg.GAN.GF_DIM
+        rcfg.TREE.BRANCH_NUM = cfg.TREE.BRANCH_NUM
+        rcfg.TREE.BASE_SIZE = cfg.TREE.BASE_SIZE
+        try:
+            netGL = model.G_SR_NET_low()
+            netGL.load_state_dict(torch.load(
+                pth_g[0], map_location="cpu", weights_only=True),
+                strict=True)
+            # NetG_highweight HARDCODES channel_num=32 in make_layer
+            # (model.py:162), so the reference module cannot represent
+            # a GF_DIM!=32 netGH at all (its own forward would crash:
+            # convin emits ngf channels into 32-channel blocks).
+            # Tensor-level equivalence at the representable GF_DIM=32 is
+            # covered by the bit-exact real-ckpt round trip in
+            # test_export_torch.py; here assert KEY-name compatibility.
+            netGH = model.NetG_highweight(weightmap=False, low="lr")
+            exported_keys = set(torch.load(
+                pth_gh[0], map_location="cpu", weights_only=True))
+            # discard 'a': on real CUDA the reference's .cuda() call
+            # UNregisters it (model.py:246-248 quirk; shipped ckpts lack
+            # it), but the oracle's CPU .cuda() stub returns the Parameter
+            # itself, so here the module state dict carries it
+            assert exported_keys == set(netGH.state_dict().keys()) - {"a"}
+        finally:  # the reference cfg is a process-global: restore it
+            (rcfg.GAN.GF_DIM, rcfg.TREE.BRANCH_NUM,
+             rcfg.TREE.BASE_SIZE) = saved
+
 
 def test_load_generator_pair_msgpack_basename(tmp_path):
     """load_generator_pair: msgpack snapshots load directly, and the

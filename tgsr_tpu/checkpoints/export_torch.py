@@ -115,7 +115,12 @@ def export_netgh_weight(variables: Mapping, n_res: int = 6,
                         weightmap: bool = False) -> Dict[str, Any]:
     """NetGHighWeight variables -> netGH state dict (NetG_highweight,
     model.py:212-298). The unregistered blend `a` is dropped (see module
-    docstring); weightmap a1/a2/a3 export when present."""
+    docstring); weightmap a1/a2/a3 export when present.
+
+    Width caveat: the reference HARDCODES channel_num=32 in make_layer
+    (model.py:162), so its module only represents ngf=32 residual chains
+    (anything else crashes its own forward); exports from non-default
+    widths carry our ngf-consistent shapes and load only at GF_DIM=32."""
     params, stats = variables["params"], variables["batch_stats"]
     out: Dict[str, np.ndarray] = {}
     _put_conv_bn(out, "convin", params["convin"], stats["convin"])
