@@ -82,6 +82,8 @@ def main():
     p.add_argument("--f32", action="store_true",
                    help="profile f32 instead of the bf16 production config")
     p.add_argument("--remat", choices=["low", "high", "all"], default=None)
+    p.add_argument("--reuse", action="store_true",
+                   help="reuse_g_forward: single vjp'd G forward per step")
     p.add_argument("--damsm", action="store_true",
                    help="profile the DAMSM encoder step instead")
     p.add_argument("--top", type=int, default=25)
@@ -172,7 +174,8 @@ def main():
     text_vars = enc.init(k, jnp.asarray(batches[0]["captions"]),
                          jnp.asarray(batches[0]["cap_lens"]))
     trainer = GANTrainer(cfg, vocab, text_vars, compute_dtype=dtype,
-                         remat=args.remat or False)
+                         remat=args.remat or False,
+                         reuse_g_forward=args.reuse)
     t0 = time.perf_counter()
     state = trainer.init_state(k, batch_size=args.batch)
     print(f"init_state: {time.perf_counter() - t0:.1f}s", file=sys.stderr)

@@ -17,7 +17,7 @@ from tgsr_tpu.engine.gan_trainer import GANTrainer
 from tgsr_tpu.models.text_encoder import TextEncoder
 
 
-def _setup(remat):
+def _setup(remat, **kw):
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
@@ -31,7 +31,7 @@ def _setup(remat):
     lens = jnp.full((B,), 6, jnp.int32)
     enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
     text_vars = enc.init(k, caps, lens)
-    trainer = GANTrainer(cfg, vocab, text_vars, remat=remat)
+    trainer = GANTrainer(cfg, vocab, text_vars, remat=remat, **kw)
     rngs = jax.random.split(jax.random.PRNGKey(3), 5)
     batch = {
         "lr": jax.random.normal(rngs[0], (B, 8, 8, 3)) * 0.3,
@@ -93,3 +93,35 @@ def test_remat_granularity_matches_baseline():
 
     with pytest.raises(ValueError, match="remat"):
         _setup(remat="bogus")
+
+
+def test_reuse_g_forward_matches_baseline():
+    """reuse_g_forward=True (single vjp'd G forward shared by the D and G
+    updates) must be numerics-preserving vs the two-forward baseline: same
+    step metrics, same updated params, same BN running stats. Also checks
+    composition with remat (the vjp saves remat'd residuals)."""
+    t0, batch = _setup(remat=False, reuse_g_forward=False)
+    k, step_rng = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    s0 = t0.init_state(k, batch_size=2)
+    s0, m0, _ = t0.train_step(s0, batch, step_rng)
+    for remat in (False, "low"):
+        t1, _ = _setup(remat=remat, reuse_g_forward=True)
+        s1 = t1.init_state(k, batch_size=2)
+        s1, m1, _ = t1.train_step(s1, batch, step_rng)
+        for name in m0:
+            np.testing.assert_allclose(
+                float(m0[name]), float(m1[name]), rtol=2e-5, atol=2e-6,
+                err_msg=f"remat={remat}:{name}")
+        for tree0, tree1, what in (
+            (s0.g_params, s1.g_params, "g_params"),
+            (s0.d_params, s1.d_params, "d_params"),
+            (s0.g_stats, s1.g_stats, "g_stats"),
+        ):
+            flat0 = jax.tree_util.tree_leaves_with_path(tree0)
+            flat1 = jax.tree_util.tree_leaves_with_path(tree1)
+            assert len(flat0) == len(flat1)
+            for (p0, a), (p1, b) in zip(flat0, flat1):
+                assert p0 == p1
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+                    err_msg=f"remat={remat}:{what}{jax.tree_util.keystr(p0)}")

@@ -72,6 +72,7 @@ class GANTrainer:
         g_lr=None,
         d_lr=None,
         fsdp: bool = False,
+        reuse_g_forward: bool = False,
     ):
         """`compute_dtype=jnp.bfloat16` runs the G/D conv stacks in bf16
         (standard mixed precision): params/optimizer/EMA stay f32, casts
@@ -102,6 +103,17 @@ class GANTrainer:
         if fsdp and mesh is None:
             raise ValueError("fsdp=True requires a mesh")
         self.fsdp = fsdp
+        # reuse_g_forward=True computes the generator chain ONCE per step
+        # via jax.vjp: the D update consumes stop_gradient of its outputs
+        # and the G update pulls the loss cotangents back through the saved
+        # vjp, instead of re-running the identical forward (same params,
+        # same rng_ca) inside g_loss_fn. Mathematically identical (the
+        # AttnGAN D-then-G-against-updated-D ordering is preserved; see
+        # tests/test_remat.py::test_reuse_g_forward_matches_baseline);
+        # trades the second forward's FLOPs for holding the vjp residuals
+        # across the D update. Measured on v5e B=128 bf16: see docs/PERF.md
+        # "Training-step G-forward reuse".
+        self.reuse_g_forward = reuse_g_forward
         self.ema_decay = ema_decay
         self.compute_dtype = compute_dtype
         self.text_encoder = TextEncoder(
@@ -393,9 +405,22 @@ class GANTrainer:
             real_pyr = batch["real_pyramid"]
 
             # ---- generator forward (shared by D and G losses) ----
-            fake, fine, mu, logvar, _ = self._g_forward(
-                state.g_params, state.g_stats, batch["lr"], sent, words, mask,
-                rng_ca)
+            if self.reuse_g_forward:
+                # one forward for the whole step: vjp saves the residuals so
+                # the G backward below reuses THIS forward instead of
+                # re-running it inside a grad closure
+                def g_out(g_params):
+                    fake, fine, mu, logvar, new_stats = self._g_forward(
+                        g_params, state.g_stats, batch["lr"], sent, words,
+                        mask, rng_ca)
+                    return (fake, fine, mu, logvar), new_stats
+
+                (fake, fine, mu, logvar), g_vjp, new_g_stats = jax.vjp(
+                    g_out, state.g_params, has_aux=True)
+            else:
+                fake, fine, mu, logvar, _ = self._g_forward(
+                    state.g_params, state.g_stats, batch["lr"], sent, words,
+                    mask, rng_ca)
             fine_sg = [jax.lax.stop_gradient(f) for f in fine]
 
             # ---- D update: sum of per-scale losses, one fused grad.
@@ -424,10 +449,10 @@ class GANTrainer:
             # The G-step D calls also run train-mode BN and also update D
             # running stats (torch does the same: netD stays in train mode
             # during the G backward).
-            def g_loss_fn(g_params):
-                fake_g, fine_g, mu_g, logvar_g, new_stats = self._g_forward(
-                    g_params, state.g_stats, batch["lr"], sent, words, mask,
-                    rng_ca)
+            def g_composite(outs):
+                """G loss from generator OUTPUTS (fake/fine pyramids, mu,
+                logvar) against the UPDATED D — shared by both paths."""
+                fake_g, fine_g, mu_g, logvar_g = outs
                 stats_cell = dict(d_stats)
                 ds = [
                     self._d_closures(dn, d_params[f"d{s}"], stats_cell,
@@ -446,10 +471,24 @@ class GANTrainer:
                 total = (w.get("adv", 1.0) * adv + w.get("kl", 1.0) * kl
                          + w.get("pixel", 1.0) * pix)
                 logs.update({"kl": kl, "pixel": pix, "adv": adv})
-                return total, (logs, new_stats, stats_cell)
+                return total, (logs, stats_cell)
 
-            (g_loss, (logs, new_g_stats, d_stats2)), g_grads = (
-                jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params))
+            if self.reuse_g_forward:
+                (g_loss, (logs, d_stats2)), out_ct = jax.value_and_grad(
+                    g_composite, has_aux=True)((fake, fine, mu, logvar))
+                (g_grads,) = g_vjp(out_ct)
+            else:
+                def g_loss_fn(g_params):
+                    fake_g, fine_g, mu_g, logvar_g, new_stats = (
+                        self._g_forward(g_params, state.g_stats, batch["lr"],
+                                        sent, words, mask, rng_ca))
+                    total, (logs, stats_cell) = g_composite(
+                        (fake_g, fine_g, mu_g, logvar_g))
+                    return total, (logs, new_stats, stats_cell)
+
+                (g_loss, (logs, new_g_stats, d_stats2)), g_grads = (
+                    jax.value_and_grad(g_loss_fn, has_aux=True)(
+                        state.g_params))
             d_stats2 = jax.lax.stop_gradient(d_stats2)
             g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
                                                 state.g_params)
