@@ -160,3 +160,26 @@ def test_program_memory_respects_prejitted_fn():
     mem = program_memory(jf, spec)
     assert set(mem) == {"temp", "arguments", "output", "generated_code",
                         "total"}
+
+
+def test_device_memory_budget_known_kind_fallback():
+    """A backend that reports no memory_stats (the axon tunnel returns
+    None for a real v5e) must fall back to the published per-chip
+    capacity keyed by device_kind; unknown kinds still yield None."""
+    class FakeDev:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+        def memory_stats(self):
+            return None
+
+    b = device_memory_budget(FakeDev("TPU v5 lite"))
+    assert b == int(16 * 2**30 * 0.92)
+    assert device_memory_budget(FakeDev("Mystery Chip 9000")) is None
+
+    class RaisingDev(FakeDev):
+        def memory_stats(self):
+            raise RuntimeError("unimplemented")
+
+    assert device_memory_budget(RaisingDev("TPU v4")) == int(
+        32 * 2**30 * 0.92)

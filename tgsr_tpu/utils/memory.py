@@ -52,19 +52,35 @@ def program_memory(fn: Callable, *args, static_argnums=(),
             "generated_code": code, "total": total}
 
 
+# Per-chip HBM for device kinds whose PJRT client does not report
+# memory_stats() (the axon tunnel backend returns None for a real v5e).
+# Values are the published per-chip capacities; device_kind strings as
+# reported by jax.Device.device_kind.
+KNOWN_CAPACITY_BYTES = {
+    "TPU v5 lite": 16 * 2**30,  # v5e
+    "TPU v4": 32 * 2**30,
+    "TPU v5": 96 * 2**30,       # v5p
+    "TPU v6 lite": 32 * 2**30,  # v6e / Trillium
+}
+
+
 def device_memory_budget(device=None, fraction: float = 0.92
                          ) -> Optional[int]:
     """Usable accelerator memory in bytes (`fraction` of the reported
     capacity, leaving headroom for the runtime's reserved segment — the
-    v5e OOM report shows ~258 MB reserved). None if the backend doesn't
-    report capacity (e.g. CPU)."""
+    v5e OOM report shows ~258 MB reserved). Falls back to the
+    KNOWN_CAPACITY_BYTES table when the backend doesn't report
+    memory_stats (the axon tunnel backend); None when the kind is
+    unknown too (e.g. CPU)."""
     device = device or jax.devices()[0]
     stats = {}
     try:
         stats = device.memory_stats() or {}
     except Exception:
-        return None
+        stats = {}
     cap = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    if not cap:
+        cap = KNOWN_CAPACITY_BYTES.get(getattr(device, "device_kind", ""))
     return int(cap * fraction) if cap else None
 
 
