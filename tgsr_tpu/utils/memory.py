@@ -54,13 +54,15 @@ def program_memory(fn: Callable, *args, static_argnums=(),
 
 # Per-chip HBM for device kinds whose PJRT client does not report
 # memory_stats() (the axon tunnel backend returns None for a real v5e).
-# Values are the published per-chip capacities; device_kind strings as
-# reported by jax.Device.device_kind.
+# Values are the published per-chip capacities in DECIMAL bytes (the
+# spec sheets quote GB, not GiB — v5p is 95 GB, i.e. ~88.5 GiB; using
+# 2**30 here would overstate v5p by ~8% and eat the entire 0.92-fraction
+# headroom). device_kind strings as reported by jax.Device.device_kind.
 KNOWN_CAPACITY_BYTES = {
-    "TPU v5 lite": 16 * 2**30,  # v5e
-    "TPU v4": 32 * 2**30,
-    "TPU v5": 96 * 2**30,       # v5p
-    "TPU v6 lite": 32 * 2**30,  # v6e / Trillium
+    "TPU v5 lite": int(16e9),  # v5e
+    "TPU v4": int(32e9),
+    "TPU v5": int(95e9),       # v5p (95 GB published)
+    "TPU v6 lite": int(32e9),  # v6e / Trillium
 }
 
 
