@@ -72,6 +72,60 @@ def gen_example_pickle(data_dir: str, vocab, namein: str = "testset.txt",
     return out_path
 
 
+def build_example_dataset(cfg):
+    """Resolve the example eval dataset for `cfg`: reuse DATA_DIR's
+    testset.pickle when present, else build it from testset.txt with the
+    train vocabulary the way test1.py does (gen_examplePickle protocol,
+    test1.py:46-131; for the face dataset the vocabulary comes from the
+    attribute table itself)."""
+    from tgsr_tpu.data.datasets import TextExampleSRDataset
+
+    cap_pickle = os.path.join(cfg.DATA_DIR, "testset.pickle")
+    if not os.path.exists(cap_pickle):
+        src = os.path.join(cfg.DATA_DIR, "testset.txt")
+        if not os.path.exists(src):
+            raise SystemExit(f"{cap_pickle} not found and no testset.txt to "
+                             "build it from")
+        if cfg.DATASET_NAME == "face":
+            import shutil
+            import tempfile
+
+            from tgsr_tpu.data.datasets import TextFaceDataset
+            from tgsr_tpu.data.tokenizer import build_dictionary
+
+            with tempfile.TemporaryDirectory() as td:
+                shutil.copy(src, os.path.join(td, "list_attr_celeba.txt"))
+                tr, _ = TextFaceDataset.load_attr_captions(td, True)
+                te, _ = TextFaceDataset.load_attr_captions(td, False)
+            _, _, vocab = build_dictionary(tr, te)
+        else:
+            from tgsr_tpu.data.datasets import TextSRDataset
+
+            train_ds = TextSRDataset(cfg.DATA_DIR, split="train",
+                                     words_num=cfg.TEXT.WORDS_NUM,
+                                     embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE)
+            vocab = train_ds.vocab
+        cap_pickle = gen_example_pickle(
+            cfg.DATA_DIR, vocab, dataset=cfg.DATASET_NAME,
+            no_stopwords=cfg.EVAL.NO_STOPWORD, only_color=cfg.EVAL.ONLY_COLOR)
+        print("generated", cap_pickle)
+
+    return TextExampleSRDataset(cfg.DATA_DIR, cap_pickle,
+                                words_num=cfg.TEXT.WORDS_NUM,
+                                imsize=cfg.imsize)
+
+
+def resolve_netg_path(cfg, ckpt_dir: str) -> str:
+    """Checkpoint resolution shared by the eval and calibration CLIs:
+    the YAML's TRAIN.NET_G path, else `ckpt_dir`'s netG file."""
+    netg_path = cfg.TRAIN.NET_G
+    if not os.path.exists(netg_path) and ckpt_dir:
+        netg_path = os.path.join(ckpt_dir, "netG_epoch_7.pth")
+    if not os.path.exists(netg_path):
+        raise SystemExit(f"netG checkpoint not found: {netg_path}")
+    return netg_path
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TGSR-TPU eval")
     parser.add_argument("--cfg", dest="cfg_file", required=True)
@@ -110,7 +164,14 @@ def main(argv=None):
                              "calibrates activation scales on the first "
                              "batch, then runs every generator conv in int8"
                              " (e2e PSNR-Y cost ~0.05 dB, docs/PERF.md)")
+    parser.add_argument("--scales", default="",
+                        help="precalibrated int8 scales JSON (tgsr-calibrate"
+                             " output); implies int8 serving without the "
+                             "batch-0 calibration pass")
     args = parser.parse_args(argv)
+    if args.scales and args.int8:
+        parser.error("--scales already selects int8; drop --int8 "
+                     "(it would recalibrate on batch 0)")
 
     import jax.numpy as jnp
     from PIL import Image
@@ -118,7 +179,6 @@ def main(argv=None):
     from tgsr_tpu.config import config_from_file, enable_compile_cache
 
     enable_compile_cache()
-    from tgsr_tpu.data.datasets import TextExampleSRDataset
     from tgsr_tpu.data.pipeline import BatchLoader
     from tgsr_tpu.engine.inference import SRPipeline
     from tgsr_tpu.utils.visualize import build_super_images_all
@@ -131,49 +191,8 @@ def main(argv=None):
     pprint.pprint(cfg)
     np.random.seed(args.manualSeed)
 
-    # caption pickle; when absent, build it from the train vocabulary the
-    # way test1.py does (gen_examplePickle, test1.py:46-131). For the face
-    # dataset the vocabulary comes from the attribute table itself.
-    cap_pickle = os.path.join(cfg.DATA_DIR, "testset.pickle")
-    if not os.path.exists(cap_pickle):
-        src = os.path.join(cfg.DATA_DIR, "testset.txt")
-        if not os.path.exists(src):
-            raise SystemExit(f"{cap_pickle} not found and no testset.txt to "
-                             "build it from")
-        if cfg.DATASET_NAME == "face":
-            import shutil
-            import tempfile
-
-            from tgsr_tpu.data.datasets import TextFaceDataset
-            from tgsr_tpu.data.tokenizer import build_dictionary
-
-            with tempfile.TemporaryDirectory() as td:
-                shutil.copy(src, os.path.join(td, "list_attr_celeba.txt"))
-                tr, _ = TextFaceDataset.load_attr_captions(td, True)
-                te, _ = TextFaceDataset.load_attr_captions(td, False)
-            _, _, vocab = build_dictionary(tr, te)
-        else:
-            from tgsr_tpu.data.datasets import TextSRDataset
-
-            train_ds = TextSRDataset(cfg.DATA_DIR, split="train",
-                                     words_num=cfg.TEXT.WORDS_NUM,
-                                     embeddings_num=cfg.TEXT.CAPTIONS_PER_IMAGE)
-            vocab = train_ds.vocab
-        cap_pickle = gen_example_pickle(
-            cfg.DATA_DIR, vocab, dataset=cfg.DATASET_NAME,
-            no_stopwords=cfg.EVAL.NO_STOPWORD, only_color=cfg.EVAL.ONLY_COLOR)
-        print("generated", cap_pickle)
-
-    ds = TextExampleSRDataset(cfg.DATA_DIR, cap_pickle,
-                              words_num=cfg.TEXT.WORDS_NUM,
-                              imsize=cfg.imsize)
-
-    # checkpoint resolution: YAML path, else --ckpt_dir
-    netg_path = cfg.TRAIN.NET_G
-    if not os.path.exists(netg_path) and args.ckpt_dir:
-        netg_path = os.path.join(args.ckpt_dir, "netG_epoch_7.pth")
-    if not os.path.exists(netg_path):
-        raise SystemExit(f"netG checkpoint not found: {netg_path}")
+    ds = build_example_dataset(cfg)
+    netg_path = resolve_netg_path(cfg, args.ckpt_dir)
 
     pipe = SRPipeline.from_reference_checkpoints(
         cfg, ds.n_words, netg_path,
@@ -194,26 +213,36 @@ def main(argv=None):
 
     from tgsr_tpu.ops.image import normalize_uint8, resize
 
-    if args.int8:
-        # calibrate on the first batch, then rebuild the pipeline with the
-        # int8 interceptor active (opt-in serving mode; engine/quant.py)
-        cal = next(iter(BatchLoader(
-            ds, min(args.batch, len(ds)), shuffle=False, drop_last=False,
-            deterministic_captions=True).epoch(0)))
-        cal_lr = jax.jit(lambda h: resize(
-            normalize_uint8(h), (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE),
-            "bilinear"))(jnp.asarray(cal["hr"]))
-        # full scales incl. image heads (the shipped default: int8 heads
-        # measure faster once the producer GLU splits apply; engine/quant.py)
-        scales = pipe.calibrate_quant(cal_lr, cal["captions"],
-                                      cal["cap_lens"])
+    if args.int8 or args.scales:
+        if args.scales:
+            import json
+
+            with open(args.scales) as f:
+                scales = json.load(f)
+            src = args.scales
+        else:
+            # calibrate on the first batch (opt-in serving mode;
+            # engine/quant.py); tgsr-calibrate produces a more robust
+            # multi-batch artifact for production use
+            cal = next(iter(BatchLoader(
+                ds, min(args.batch, len(ds)), shuffle=False, drop_last=False,
+                deterministic_captions=True).epoch(0)))
+            cal_lr = jax.jit(lambda h: resize(
+                normalize_uint8(h), (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE),
+                "bilinear"))(jnp.asarray(cal["hr"]))
+            # full scales incl. image heads (the shipped default: int8 heads
+            # measure faster once the producer GLU splits apply;
+            # engine/quant.py)
+            scales = pipe.calibrate_quant(cal_lr, cal["captions"],
+                                          cal["cap_lens"])
+            src = "batch 0"
         pipe = SRPipeline(
             cfg, ds.n_words, pipe.variables["text"], pipe.variables["netg"],
             pipe.variables["netgh"],
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             return_attn=True, quant_scales=scales)
-        print(f"int8 serving: calibrated {len(scales['netg'])}+"
-              f"{len(scales['netgh'])} convs on batch 0")
+        print(f"int8 serving: {len(scales['netg'])}+"
+              f"{len(scales['netgh'])} conv scales from {src}")
 
     if args.save_artifact:
         # deployment bundle: drop return_attn (this CLI's pipeline computes
