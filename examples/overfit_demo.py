@@ -80,7 +80,10 @@ def build_overfit_set(n, base, sizes, vocab, T, seed=0, n_unique=None):
             lens[i] = lens[i % n_unique]
     return {
         "lr": lr, "real_pyramid": pyr, "captions": caps, "cap_lens": lens,
-        "class_ids": np.arange(n, dtype=np.int32),
+        # repeats of a unique crop share its class id: the DAMSM losses'
+        # class mask (losses.py:49-55) must treat identical (image,
+        # caption) pairs as the same class, not as contrastive negatives
+        "class_ids": (np.arange(n, dtype=np.int32) % n_unique),
     }
 
 
@@ -110,6 +113,13 @@ def main():
                         "memorization-feasible configuration")
     p.add_argument("--g-lr-cosine", action="store_true",
                    help="cosine-decay G lr 2e-4 -> 2e-6 over --steps")
+    p.add_argument("--damsm", action="store_true",
+                   help="include the DAMSM words/sent contrastive terms in "
+                        "the G composite (generator_loss with a frozen "
+                        "seeded SimpleCNN image encoder -- the FULL "
+                        "reference objective, losses.py:351-391; the terms "
+                        "ride the adv weight like the reference's "
+                        "LAMBDA-scaled sum)")
     p.add_argument("--x16", action="store_true",
                    help="overfit the x16 family (BRANCH_NUM=5, 32->512; "
                         "GSRNetLow16 + NetGHighWeight16 -- the reference's "
@@ -179,12 +189,28 @@ def main():
     remat = args.remat
     if isinstance(remat, str):
         remat = {"false": False, "true": True}.get(remat.lower(), remat)
+    ie_apply = None
+    if args.damsm:
+        # frozen seeded image encoder (eval-mode BN): the same no-zoo
+        # convention as the DAMSM retrieval proof
+        # (examples/damsm_overfit_demo.py). Frozen is the right control
+        # here -- the question is whether G descends under the full
+        # composite, not whether the encoder co-adapts.
+        from tgsr_tpu.models.image_encoder import SimpleCNNEncoder
+
+        ienc = SimpleCNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
+        iev = ienc.init(jax.random.PRNGKey(5),
+                        jnp.zeros((1, sizes[-1], sizes[-1], 3)))
+
+        def ie_apply(img):
+            return ienc.apply(iev, img)
+
     trainer = GANTrainer(
         cfg, vocab, text_vars,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         ema_decay=args.ema_decay,
         loss_weights={"adv": args.adv_weight},
-        g_lr=g_lr, remat=remat)
+        g_lr=g_lr, remat=remat, image_encoder_apply=ie_apply)
 
     t0 = time.perf_counter()
     state = trainer.init_state(k, batch_size=B)
@@ -266,6 +292,9 @@ def main():
                    "adv": last["adv"], "pixel": last["pixel"],
                    "kl": last["kl"],
                    "wall_s": round(time.perf_counter() - t_train, 1)}
+            for extra in ("w_loss", "s_loss"):
+                if extra in last:
+                    rec[extra] = last[extra]
             curve.append(rec)
             with open(curve_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")

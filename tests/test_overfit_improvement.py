@@ -94,3 +94,22 @@ def test_short_horizon_overfit_improves():
     assert last["pixel"] < 0.92 * first_pixel, (first_pixel, last["pixel"])
     # the raw generator's images must be measurably closer to GT
     assert psnr1 > psnr0 + 0.25, (psnr0, psnr1)
+
+
+def test_overfit_set_repeat_class_ids():
+    """Repeated crops must SHARE a class id: the DAMSM losses' class mask
+    treats same-class pairs as non-negatives (reference losses.py:49-55);
+    with per-copy ids the contrastive terms would push identical
+    (image, caption) pairs apart."""
+    cfg = Config()
+    sizes = [16, 32, 64]
+    data = build_overfit_set(8, 8, sizes, 41, cfg.TEXT.WORDS_NUM,
+                             n_unique=2)
+    np.testing.assert_array_equal(data["class_ids"],
+                                  np.arange(8, dtype=np.int32) % 2)
+    # content actually repeats with the ids
+    np.testing.assert_array_equal(data["lr"][2], data["lr"][0])
+    np.testing.assert_array_equal(data["captions"][3], data["captions"][1])
+    # the default (all-unique) keeps distinct ids
+    data_u = build_overfit_set(4, 8, sizes, 41, cfg.TEXT.WORDS_NUM)
+    np.testing.assert_array_equal(data_u["class_ids"], np.arange(4))
