@@ -155,6 +155,11 @@ def test_serve_main_arg_validation():
     with pytest.raises(SystemExit, match="export time"):
         main(["--aot", "/tmp/nowhere", "--vocab_pickle", "v.pickle",
               "--int8"])
+    # --scales (tgsr-calibrate JSON) is the --cfg/--netg boot path's knob
+    with pytest.raises(SystemExit, match="scales selects int8"):
+        main(["--cfg", "x.yml", "--scales", "s.json", "--int8"])
+    with pytest.raises(SystemExit, match="scales selects int8"):
+        main(["--artifact", "/tmp/nowhere", "--scales", "s.json"])
 
 
 def test_serve_aot_vocab_mismatch_refused(small_pipe, tmp_path):  # noqa: F811

@@ -192,6 +192,10 @@ def main(argv=None):
     parser.add_argument("--max_delay_ms", type=float, default=5.0)
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving with the shipped face_S8 scales")
+    parser.add_argument("--scales", default="",
+                        help="int8 serving with a calibrated scales JSON "
+                             "(tgsr-calibrate output) — for checkpoints "
+                             "the shipped face_S8 scales don't describe")
     parser.add_argument("--f32", action="store_true",
                         help="full f32 (default bf16)")
     args = parser.parse_args(argv)
@@ -204,6 +208,10 @@ def main(argv=None):
     enable_compile_cache()
     from tgsr_tpu.engine.inference import SRPipeline
 
+    if args.scales and (args.int8 or args.f32 or args.artifact or args.aot):
+        raise SystemExit("--scales selects int8 for the --cfg/--netg boot "
+                         "path; drop --int8/--f32 (and use the bundle's "
+                         "own scales with --artifact/--aot)")
     if args.aot:
         if args.int8 or args.f32:
             raise SystemExit("--aot artifacts bake precision/quantization "
@@ -247,7 +255,12 @@ def main(argv=None):
         cfg = config_from_file(args.cfg_file)
         vocab = load_vocab(args.vocab_pickle)
         quant = None
-        if args.int8:
+        if args.scales:
+            import json
+
+            with open(args.scales) as f:
+                quant = json.load(f)
+        elif args.int8:
             from tgsr_tpu.engine.quant import face_s8_scales
 
             quant = face_s8_scales()
@@ -262,7 +275,7 @@ def main(argv=None):
     httpd.batcher.warmup()
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(max_batch {args.max_batch}, delay {args.max_delay_ms} ms, "
-          f"{'aot' if args.aot else 'int8' if args.int8 else 'f32' if args.f32 else 'bf16'})",
+          f"{'aot' if args.aot else 'int8' if getattr(pipe, 'quant_scales', None) else 'f32' if args.f32 else 'bf16'})",
           flush=True)
     from tgsr_tpu.utils.preemption import graceful_sigterm
 
