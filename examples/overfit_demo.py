@@ -120,6 +120,13 @@ def main():
                         "reference objective, losses.py:351-391; the terms "
                         "ride the adv weight like the reference's "
                         "LAMBDA-scaled sum)")
+    p.add_argument("--damsm-pretrain", type=int, default=0, metavar="N",
+                   help="with --damsm: first run N DAMSM pretraining steps "
+                        "(SimpleCNN + bi-LSTM, DAMSMTrainer) on the unique "
+                        "(GT crop, caption) pairs, then train the GAN with "
+                        "the TRAINED frozen encoders -- the reference's "
+                        "own two-phase workflow (pretrain_DAMSM.py -> "
+                        "frozen NET_E -> GAN) end to end")
     p.add_argument("--x16", action="store_true",
                    help="overfit the x16 family (BRANCH_NUM=5, 32->512; "
                         "GSRNetLow16 + NetGHighWeight16 -- the reference's "
@@ -190,12 +197,56 @@ def main():
     if isinstance(remat, str):
         remat = {"false": False, "true": True}.get(remat.lower(), remat)
     ie_apply = None
-    if args.damsm:
+    if args.damsm and args.damsm_pretrain:
+        # The reference's own two-phase workflow in miniature: pretrain
+        # the DAMSM encoders on the (GT crop, caption) pairs until they
+        # associate them (pretrain_DAMSM.py protocol), then train the GAN
+        # against the TRAINED frozen encoders. lr 2e-3 is the overfit
+        # setting from the DAMSM retrieval proof (docs/PERF.md).
+        from tgsr_tpu.engine.damsm_trainer import DAMSMTrainer
+        from tgsr_tpu.engine.evaluator import rank_r_precision
+
+        n_u = args.n_unique or B
+        dt = DAMSMTrainer(cfg, vocab_size=vocab, use_inception=False)
+        dbatch = {
+            "imgs": jnp.asarray(data["real_pyramid"][-1][:n_u]),
+            "captions": jnp.asarray(data["captions"][:n_u]),
+            "cap_lens": jnp.asarray(data["cap_lens"][:n_u]),
+            "class_ids": jnp.arange(n_u, dtype=jnp.int32),
+        }
+        dstate = dt.init_state(jax.random.PRNGKey(11),
+                               image_size=sizes[-1], batch_size=2)
+        t0 = time.perf_counter()
+        for i in range(args.damsm_pretrain):
+            dstate, dm = dt.train_step(
+                dstate, dbatch, 2e-3, jax.random.fold_in(
+                    jax.random.PRNGKey(12), i))
+        feat, code, w_e, s_e = dt.embed_step(dstate, dbatch)
+        gammas = (cfg.TRAIN.SMOOTH.GAMMA1, cfg.TRAIN.SMOOTH.GAMMA2,
+                  cfg.TRAIN.SMOOTH.GAMMA3)
+        r1 = rank_r_precision(feat, code, w_e, s_e, dbatch["cap_lens"],
+                              gammas, top_k=1)
+        print(f"DAMSM pretrain {args.damsm_pretrain} steps "
+              f"({time.perf_counter()-t0:.0f}s): loss "
+              f"{float(dm['loss']):.3f}, retrieval R@1 word "
+              f"{r1['word_r@1']:.2f} / sent {r1['sent_r@1']:.2f} (n={n_u})",
+              flush=True)
+        text_vars = {"params": dstate.text_params}  # the trained NET_E
+        iev = {"params": dstate.cnn_params}
+        if dstate.cnn_stats:
+            iev["batch_stats"] = dstate.cnn_stats
+        ienc = dt.cnn_encoder
+
+        def ie_apply(img):
+            return ienc.apply(iev, img)
+
+    elif args.damsm:
         # frozen seeded image encoder (eval-mode BN): the same no-zoo
         # convention as the DAMSM retrieval proof
-        # (examples/damsm_overfit_demo.py). Frozen is the right control
-        # here -- the question is whether G descends under the full
-        # composite, not whether the encoder co-adapts.
+        # (examples/damsm_overfit_demo.py). Frozen is the ablation
+        # control -- run 6 measured: the RANDOM encoder's contrastive
+        # terms act as a noise floor (raw PSNR plateaus ~0.4 dB below
+        # bicubic); --damsm-pretrain is the faithful configuration.
         from tgsr_tpu.models.image_encoder import SimpleCNNEncoder
 
         ienc = SimpleCNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
