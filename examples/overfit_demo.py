@@ -120,6 +120,12 @@ def main():
                         "reference objective, losses.py:351-391; the terms "
                         "ride the adv weight like the reference's "
                         "LAMBDA-scaled sum)")
+    p.add_argument("--damsm-weight", type=float, default=1.0,
+                   help="loss_weights['damsm']: scales the words/sent "
+                        "terms inside the adv total (effective weight = "
+                        "adv-weight x this; runs 6/7 measured the terms at "
+                        "full strength costing ~1.5-2 dB vs run 5's "
+                        "pixel+adv equilibrium on the memorization probe)")
     p.add_argument("--damsm-pretrain", type=int, default=0, metavar="N",
                    help="with --damsm: first run N DAMSM pretraining steps "
                         "(SimpleCNN + bi-LSTM, DAMSMTrainer) on the unique "
@@ -138,6 +144,9 @@ def main():
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", "overfit"))
     args = p.parse_args()
+    if args.damsm_pretrain and not args.damsm:
+        p.error("--damsm-pretrain only applies with --damsm (without it "
+                "no DAMSM terms enter the composite)")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -197,7 +206,7 @@ def main():
     if isinstance(remat, str):
         remat = {"false": False, "true": True}.get(remat.lower(), remat)
     ie_apply = None
-    if args.damsm and args.damsm_pretrain:
+    if args.damsm and args.damsm_pretrain > 0:
         # The reference's own two-phase workflow in miniature: pretrain
         # the DAMSM encoders on the (GT crop, caption) pairs until they
         # associate them (pretrain_DAMSM.py protocol), then train the GAN
@@ -206,7 +215,9 @@ def main():
         from tgsr_tpu.engine.damsm_trainer import DAMSMTrainer
         from tgsr_tpu.engine.evaluator import rank_r_precision
 
-        n_u = args.n_unique or B
+        # build_overfit_set caps the unique-crop count at the batch size
+        # (indices >= n_unique repeat), so the DAMSM pair set must too
+        n_u = min(args.n_unique or B, B)
         dt = DAMSMTrainer(cfg, vocab_size=vocab, use_inception=False)
         dbatch = {
             "imgs": jnp.asarray(data["real_pyramid"][-1][:n_u]),
@@ -260,7 +271,7 @@ def main():
         cfg, vocab, text_vars,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         ema_decay=args.ema_decay,
-        loss_weights={"adv": args.adv_weight},
+        loss_weights={"adv": args.adv_weight, "damsm": args.damsm_weight},
         g_lr=g_lr, remat=remat, image_encoder_apply=ie_apply)
 
     t0 = time.perf_counter()

@@ -169,6 +169,22 @@ def test_train_step_with_image_encoder():
     assert abs(float(metrics["w_loss"])) > 0
     assert abs(float(metrics["s_loss"])) > 0
 
+    # loss_weights['damsm'] scales the w/s terms inside adv: at 0 the
+    # composite must equal the no-encoder trainer's step exactly
+    t0 = GANTrainer(cfg, vocab, text_vars,
+                    image_encoder_apply=image_encoder_apply,
+                    loss_weights={"damsm": 0.0})
+    tn = GANTrainer(cfg, vocab, text_vars)
+    s0 = t0.init_state(jax.random.PRNGKey(0), batch_size=4)
+    sn = tn.init_state(jax.random.PRNGKey(0), batch_size=4)
+    _, m0, _ = t0.train_step(s0, batch, jax.random.PRNGKey(2))
+    _, mn, _ = tn.train_step(sn, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m0["adv"]), float(mn["adv"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m0["g_loss"]), float(mn["g_loss"]),
+                               rtol=1e-5)
+    assert float(m0["w_loss"]) == 0.0 and float(m0["s_loss"]) == 0.0
+
 
 def test_mixed_precision_step_close_to_f32():
     """compute_dtype=bf16: params/opt stay f32, metrics track the f32 step

@@ -174,7 +174,7 @@ def test_device_memory_budget_known_kind_fallback():
             return None
 
     b = device_memory_budget(FakeDev("TPU v5 lite"))
-    assert b == int(16e9 * 0.92)  # published GB are decimal, not GiB
+    assert b == int(16e9 * 0.92)  # v5e is published in decimal GB
     assert device_memory_budget(FakeDev("Mystery Chip 9000")) is None
 
     class RaisingDev(FakeDev):
@@ -182,15 +182,15 @@ def test_device_memory_budget_known_kind_fallback():
             raise RuntimeError("unimplemented")
 
     assert device_memory_budget(RaisingDev("TPU v4")) == int(
-        32e9 * 0.92)
+        32 * 2**30 * 0.92)
 
 
-def test_capacity_table_is_decimal_bytes():
-    """ADVICE r3: the table must use published (decimal-GB) capacities so
-    the 0.92 fraction leaves real headroom on every kind — v5p is 95 GB
-    (~88.5 GiB); a 96*2**30 entry would plan past the physical chip."""
+def test_capacity_table_uses_published_units():
+    """ADVICE r3: each entry must use the capacity in the unit its spec
+    sheet publishes — v5p is 95 GB (~88.5 GiB; a 96*2**30 entry would
+    plan past the physical chip), while v4 is genuinely 32 GiB."""
     from tgsr_tpu.utils.memory import KNOWN_CAPACITY_BYTES
     assert KNOWN_CAPACITY_BYTES["TPU v5"] == int(95e9)
-    for kind, cap in KNOWN_CAPACITY_BYTES.items():
-        # decimal-GB entries are exact multiples of 1e9
-        assert cap % 10**9 == 0, (kind, cap)
+    assert KNOWN_CAPACITY_BYTES["TPU v5 lite"] == int(16e9)
+    assert KNOWN_CAPACITY_BYTES["TPU v6 lite"] == int(32e9)
+    assert KNOWN_CAPACITY_BYTES["TPU v4"] == 32 * 2**30

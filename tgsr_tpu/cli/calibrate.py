@@ -81,7 +81,15 @@ def main(argv=None):
                         help="keep the 3-channel image heads in bf16 "
                              "(higher fidelity, ~4%% slower; docs/PERF.md "
                              "'Int8 image heads')")
-    parser.add_argument("--seed", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="augmentation rng seed (views only)")
+    parser.add_argument("--text_seed", type=int, default=100,
+                        help="seeded-init text encoder key when no "
+                             "--text_encoder is given — MUST match the "
+                             "serving pipeline's (cli.test --manualSeed / "
+                             "from_reference_checkpoints text_seed, both "
+                             "default 100), or the recorded scales "
+                             "describe activations serving never sees")
     args = parser.parse_args(argv)
 
     import jax
@@ -111,20 +119,29 @@ def main(argv=None):
     pipe = SRPipeline.from_reference_checkpoints(
         cfg, ds.n_words, netg_path,
         text_encoder_path=args.text_encoder or None,
-        compute_dtype=jnp.float32, text_seed=args.seed)
+        compute_dtype=jnp.float32, text_seed=args.text_seed)
 
     loader = BatchLoader(ds, min(args.batch, len(ds)), shuffle=False,
                          drop_last=False, deterministic_captions=True)
-    batch = next(iter(loader.epoch(0)))
+    # advance the loader across --batches: each view covers DIFFERENT
+    # images when the dataset has them (cycling when it doesn't), with
+    # the canonical (un-augmented) degrade only on the first
+    batches = []
+    for b in loader.epoch(0):
+        batches.append(b)
+        if len(batches) >= max(args.batches, 1):
+            break
+    batch = batches[0]
     base = cfg.TREE.BASE_SIZE
 
     degrade = jax.jit(lambda h: resize(normalize_uint8(h), (base, base),
                                        "bilinear"))
     lr0 = np.asarray(degrade(jnp.asarray(batch["hr"])))
     views = [(lr0, batch["captions"], batch["cap_lens"])]
-    for _ in range(max(args.batches - 1, 0)):
-        views.append((augmented_lr_batch(np.asarray(batch["hr"]), base, rng),
-                      batch["captions"], batch["cap_lens"]))
+    for i in range(1, max(args.batches, 1)):
+        src = batches[i % len(batches)]
+        views.append((augmented_lr_batch(np.asarray(src["hr"]), base, rng),
+                      src["captions"], src["cap_lens"]))
 
     per_view = [pipe.calibrate_quant(lr, caps, lens, margin=args.margin)
                 for lr, caps, lens in views]

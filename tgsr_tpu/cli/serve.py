@@ -256,8 +256,6 @@ def main(argv=None):
         vocab = load_vocab(args.vocab_pickle)
         quant = None
         if args.scales:
-            import json
-
             with open(args.scales) as f:
                 quant = json.load(f)
         elif args.int8:

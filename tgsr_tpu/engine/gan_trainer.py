@@ -83,10 +83,13 @@ class GANTrainer:
         tests/test_gan_trainer_sharding.py.
 
         `loss_weights` scales the G composite's terms: keys 'adv', 'pixel',
-        'kl', each default 1.0 (the reconstructed reference contract,
-        SURVEY.md 3.5 -- the snapshot ships no trainer, so the combination
-        weights are a framework knob). SR-GAN practice weights the
-        adversarial term far below the content term (SRGAN uses 1e-3);
+        'kl', plus 'damsm' scaling the words/sent contrastive terms INSIDE
+        the adv total (generator_loss w/s args — they also ride 'adv', so
+        the effective DAMSM weight is adv*damsm; the reference's LAMBDA is
+        applied on top). Each defaults to 1.0 (the reconstructed reference
+        contract, SURVEY.md 3.5 -- the snapshot ships no trainer, so the
+        combination weights are a framework knob). SR-GAN practice weights
+        the adversarial term far below the content term (SRGAN uses 1e-3);
         pixel-dominant settings are what the overfit learning proof uses
         (examples/overfit_demo.py). Metrics always report UNWEIGHTED term
         values; 'g_loss' is the weighted total that is differentiated.
@@ -459,10 +462,11 @@ class GANTrainer:
                                      f"d{s}")
                     for dn, s in zip(self.dnets, self.sizes)
                 ]
+                dw = self.loss_weights.get("damsm", 1.0)
                 adv, logs = generator_loss(
                     ds, self.image_encoder_apply, fine_g, sent, words,
                     batch["cap_lens"], batch.get("class_ids"),
-                    gammas, cfg.TRAIN.SMOOTH.LAMBDA,
+                    gammas, cfg.TRAIN.SMOOTH.LAMBDA, w=dw, s=dw,
                 )
                 kl = kl_loss(mu_g, logvar_g)
                 pix = mse_pyramid(fake_g, real_pyr) + mse_pyramid(fine_g,

@@ -54,15 +54,16 @@ def program_memory(fn: Callable, *args, static_argnums=(),
 
 # Per-chip HBM for device kinds whose PJRT client does not report
 # memory_stats() (the axon tunnel backend returns None for a real v5e).
-# Values are the published per-chip capacities in DECIMAL bytes (the
-# spec sheets quote GB, not GiB — v5p is 95 GB, i.e. ~88.5 GiB; using
-# 2**30 here would overstate v5p by ~8% and eat the entire 0.92-fraction
-# headroom). device_kind strings as reported by jax.Device.device_kind.
+# Values are the published per-chip capacities in the UNIT each spec
+# sheet actually uses: v5e/v5p/v6e are quoted in decimal GB (v5p is
+# 95 GB ~ 88.5 GiB — a 96*2**30 entry would overstate it ~8% and eat
+# the entire 0.92-fraction headroom), while v4 is quoted as 32 GiB.
+# device_kind strings as reported by jax.Device.device_kind.
 KNOWN_CAPACITY_BYTES = {
-    "TPU v5 lite": int(16e9),  # v5e
-    "TPU v4": int(32e9),
-    "TPU v5": int(95e9),       # v5p (95 GB published)
-    "TPU v6 lite": int(32e9),  # v6e / Trillium
+    "TPU v5 lite": int(16e9),   # v5e (16 GB)
+    "TPU v4": 32 * 2**30,       # v4 (32 GiB HBM2)
+    "TPU v5": int(95e9),        # v5p (95 GB)
+    "TPU v6 lite": int(32e9),   # v6e / Trillium (32 GB)
 }
 
 
