@@ -129,3 +129,29 @@ def test_sr_batched_memory_planned(pipe):
     assert out.shape == (n, 256, 256, 3) and out.dtype == np.uint8
     direct = p.sr_uint8(lr[:3], capsN[:3], lensN[:3])
     np.testing.assert_array_equal(out[:3], direct)
+
+    # degenerate N=0: an empty result, not a ZeroDivisionError in the
+    # microbatch plan
+    empty = p.sr_batched(lr[:0], capsN[:0], lensN[:0])
+    assert empty.shape == (0, 256, 256, 3) and empty.dtype == np.uint8
+
+
+def test_bench_forward_tracks_pipeline_dtype(pipe):
+    """bench_forward is plan_microbatch's memory model: it must run at the
+    pipeline's own compute dtype (a hardcoded bf16 would make the planner
+    bisect ~half the activation bytes of an f32 pipeline's real forward)."""
+    import jax
+
+    p, caps, lens = pipe
+    lr = np.zeros((1, 32, 32, 3), np.float32)
+    out32 = jax.eval_shape(p.bench_forward, p.variables, lr, caps, lens)
+    assert out32.dtype == np.float32  # f32 pipeline -> f32 forward
+    import jax.numpy as jnp
+
+    from tgsr_tpu.engine.inference import SRPipeline
+
+    pb = SRPipeline(p.cfg, p.text_encoder.vocab_size, p.variables["text"],
+                    p.variables["netg"], p.variables["netgh"],
+                    compute_dtype=jnp.bfloat16)
+    outb = jax.eval_shape(pb.bench_forward, pb.variables, lr, caps, lens)
+    assert outb.dtype == jnp.bfloat16

@@ -135,6 +135,11 @@ def test_serving_shape_pinning_keeps_collector_alive(small_pipe):
 
 
 def test_serving_cancelled_future_does_not_kill_batch(small_pipe):
+    """A rider cancelled while pending must neither wedge the collector
+    (set_result on a cancelled Future raises InvalidStateError — the
+    dispatch claims riders via set_running_or_notify_cancel first) nor
+    be counted as processed; the live riders resolve normally and a
+    claimed future can no longer be cancelled."""
     lrs, caps, lens = _requests(3, seed=3)
     with BatchingServer(small_pipe, max_batch=4, max_delay_ms=50) as srv:
         f0 = srv.submit(lrs[0], caps[0], lens[0])
@@ -143,5 +148,8 @@ def test_serving_cancelled_future_does_not_kill_batch(small_pipe):
         f2 = srv.submit(lrs[2], caps[2], lens[2])
         assert f0.result(timeout=120).shape == (128, 128, 3)
         assert f2.result(timeout=120).shape == (128, 128, 3)
+        assert f1.cancelled()
+        assert not f0.cancel()  # resolved/claimed: cancel can't take it
     snap = srv.stats_snapshot()
-    assert snap["requests"] == 3 and snap["batches"] >= 1
+    # the cancelled rider was dropped at dispatch, not processed
+    assert snap["requests"] == 2 and snap["batches"] >= 1

@@ -17,8 +17,8 @@ CONFIGS = sorted(glob.glob(os.path.join(
 def test_configs_exist():
     names = {os.path.basename(p) for p in CONFIGS}
     assert {"eval_cocoSR_attn2.yml", "eval_flowerSR_attn2.yml",
-            "eval_div2kSR_attn2.yml", "train_faceSR_S8.yml",
-            "train_faceSR_S16.yml"} <= names
+            "eval_div2kSR_attn2.yml", "eval_faceSR_S16.yml",
+            "train_faceSR_S8.yml", "train_faceSR_S16.yml"} <= names
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=os.path.basename)
@@ -41,6 +41,10 @@ def test_geometry_contracts():
     s16 = by_name["train_faceSR_S16.yml"]
     assert s16.scale == 16 and s16.METHOD == "S16"
     assert s16.TRAIN.SMOOTH.GAMMA1 == 4.0
+    e16 = by_name["eval_faceSR_S16.yml"]
+    assert e16.scale == 16 and e16.METHOD == "S16"
+    assert e16.TRAIN.FLAG is False and e16.B_VALIDATION is True
+    assert e16.imsize == 512  # 32 * 2^(5-1)
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=os.path.basename)

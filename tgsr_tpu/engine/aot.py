@@ -170,6 +170,10 @@ class AOTPipeline:
         captions = np.asarray(captions)
         cap_lens = np.asarray(cap_lens)
         n, b = lr.shape[0], self.meta["batch"]
+        if n == 0:
+            # degenerate empty batch: row-0 padding below would IndexError
+            s = self.meta["sr_size"]
+            return np.empty((0, s, s, 3), np.uint8)  # both exits are uint8
         if isinstance(b, int) and n != b:
             # pinned-batch artifact: pad by repeating row 0 (real caption
             # semantics, unlike zeros) and strip — so the serving stack's

@@ -22,7 +22,7 @@ backbone moments.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +72,6 @@ class DAMSMTrainer:
             self.cnn_encoder = SimpleCNNEncoder(nef=cfg.TEXT.EMBEDDING_DIM)
         self.base_lr = cfg.TRAIN.ENCODER_LR
         self.grad_clip = cfg.TRAIN.RNN_GRAD_CLIP
-        self._tx_cache: Dict[float, optax.GradientTransformation] = {}
         self.train_step = self._build_train_step()
         self.eval_step = self._build_eval_step()
         self.embed_step = self._build_embed_step()

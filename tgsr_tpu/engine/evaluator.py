@@ -8,6 +8,7 @@ PSNR + SSIM vs HR, batched and jitted, over a dataset.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Iterable, List, Optional
 
 import jax
@@ -71,6 +72,33 @@ def rank_r_precision(
     }
 
 
+@functools.lru_cache(maxsize=None)
+def _eval_degrade(scale: int):
+    """Per-scale jitted degrade, cached at module level: a fresh closure
+    per evaluate_sr call would miss jax's jit cache every time — on the
+    remote-compile stack that is tens of seconds of recompiles per call
+    (and it pollutes the first batch's host-e2e timing)."""
+    @jax.jit
+    def degrade(hr_uint8):
+        hr = normalize_uint8(hr_uint8)
+        h, w = hr.shape[1:3]
+        return resize(hr, (h // scale, w // scale), "bilinear")
+
+    return degrade
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_metrics():
+    @jax.jit
+    def metrics_fn(sr, hr_uint8):
+        sr8 = denormalize_to_uint8(sr)
+        y_sr = rgb2y(sr8).astype(jnp.float32)[..., None]
+        y_hr = rgb2y(hr_uint8).astype(jnp.float32)[..., None]
+        return psnr_batch(y_sr, y_hr), ssim(y_sr, y_hr)
+
+    return metrics_fn
+
+
 def evaluate_sr(
     pipeline: SRPipeline,
     batches: Iterable[Dict[str, np.ndarray]],
@@ -88,19 +116,8 @@ def evaluate_sr(
     import time
 
     scale = scale or pipeline.cfg.scale
-
-    @jax.jit
-    def degrade(hr_uint8):
-        hr = normalize_uint8(hr_uint8)
-        h, w = hr.shape[1:3]
-        return resize(hr, (h // scale, w // scale), "bilinear")
-
-    @jax.jit
-    def metrics_fn(sr, hr_uint8):
-        sr8 = denormalize_to_uint8(sr)
-        y_sr = rgb2y(sr8).astype(jnp.float32)[..., None]
-        y_hr = rgb2y(hr_uint8).astype(jnp.float32)[..., None]
-        return psnr_batch(y_sr, y_hr), ssim(y_sr, y_hr)
+    degrade = _eval_degrade(scale)
+    metrics_fn = _eval_metrics()
 
     psnrs: List[float] = []
     ssims: List[float] = []

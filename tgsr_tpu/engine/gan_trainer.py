@@ -220,13 +220,16 @@ class GANTrainer:
                                             init_on_cpu=False)
                 return jax.device_put(state, jax.devices()[0])
         cfg = self.cfg
-        kg, kgh, kt, *kd = jax.random.split(rng, 3 + len(self.dnets))
+        kg, kgh, kca, *kd = jax.random.split(rng, 3 + len(self.dnets))
         lr = jnp.zeros((batch_size, cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE, 3))
         words = jnp.zeros((batch_size, cfg.TEXT.WORDS_NUM, cfg.TEXT.EMBEDDING_DIM))
         sent = jnp.zeros((batch_size, cfg.TEXT.EMBEDDING_DIM))
         mask = jnp.zeros((batch_size, cfg.TEXT.WORDS_NUM), bool)
 
-        vg = self.netg.init(kg, lr, sent, words, mask, rng=kg, train=True)
+        # kca feeds the CA-net's sampling stream during init (distinct
+        # from the param-init key; only shapes matter here, but reusing kg
+        # for both reads as a wrong-variable bug)
+        vg = self.netg.init(kg, lr, sent, words, mask, rng=kca, train=True)
         fake = [jnp.zeros((batch_size, s, s, 3)) for s in self.sizes]
         vgh = self.netgh.init(kgh, lr, fake, lr, train=True)
 

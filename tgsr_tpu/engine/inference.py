@@ -337,7 +337,6 @@ class SRPipeline:
             data = NamedSharding(self.mesh, P("data"))
             data4 = NamedSharding(self.mesh, P("data", None, None, None))
             data2 = NamedSharding(self.mesh, P("data", None))
-            repl = NamedSharding(self.mesh, P())
             return jax.jit(
                 forward,
                 in_shardings=(None, data4, data2, data),
@@ -488,6 +487,9 @@ class SRPipeline:
         captions = np.asarray(captions)
         cap_lens = np.asarray(cap_lens)
         n = lr.shape[0]
+        if n == 0:
+            h, w = lr.shape[1] * self.cfg.scale, lr.shape[2] * self.cfg.scale
+            return np.empty((0, h, w, 3), np.uint8)
         b = min(microbatch or self.DEFAULT_MICROBATCH, n)
         m = -(-n // b)
         # balance the microbatch to N (N=769 with b=768 would otherwise pad
@@ -546,11 +548,15 @@ class SRPipeline:
         return np.round(np.clip((sr + 1.0) * 127.5, 0, 255)).astype(np.uint8)
 
     def bench_forward(self, variables, lr_b, cap_b, len_b):
-        """The traceable bf16 (quant-aware) forward returning the final SR
-        tensor -- the single shared building block for every timing probe
-        (bench.py checksum scans, the latency probe's chained-K structure,
-        the profiling tool). NOT jitted by itself: compose inside one jit."""
-        cdt = jnp.bfloat16
+        """The traceable (quant-aware) forward at the pipeline's own
+        compute dtype, returning the final SR tensor -- the single shared
+        building block for every timing probe (bench.py checksum scans,
+        the latency probe's chained-K structure, the profiling tool) AND
+        plan_microbatch's memory model. NOT jitted by itself: compose
+        inside one jit. Must track self.compute_dtype: a hardcoded bf16
+        here would make plan_microbatch bisect ~half the activation bytes
+        of an f32 pipeline's real forward (OOM at runtime)."""
+        cdt = self.compute_dtype
         words, sent = self.text_encoder.apply(variables["text"], cap_b,
                                               len_b)
         mask = cap_b == 0

@@ -181,6 +181,15 @@ class BatchingServer:
             self._run_batch(batch)
 
     def _run_batch(self, batch: List[tuple]) -> None:
+        # Claim every rider up front: set_running_or_notify_cancel moves a
+        # pending future to RUNNING (after which fut.cancel() can no longer
+        # succeed) and returns False for one already cancelled. Without
+        # this, a caller-side cancel() landing between a done() check and
+        # set_result() raises InvalidStateError and KILLS the collector
+        # thread — every later submit would then hang forever.
+        batch = [r for r in batch if r[4].set_running_or_notify_cancel()]
+        if not batch:
+            return
         n = len(batch)
         try:
             b = self._plan(n)
@@ -192,7 +201,7 @@ class BatchingServer:
         except Exception as e:  # propagate to every rider of this batch --
             # the collector thread must survive any single batch failing
             for r in batch:
-                if not r[4].done():
+                if not r[4].done():  # claimed above: cancel can't race
                     r[4].set_exception(e)
             return
         now = time.perf_counter()
@@ -207,8 +216,7 @@ class BatchingServer:
         # resolve futures OUTSIDE the stats lock: set_result runs done-
         # callbacks synchronously, and one of those could read stats
         for i, r in enumerate(batch):
-            if not r[4].done():  # a cancelled future must not kill
-                r[4].set_result(out[i])  # the rest of the batch
+            r[4].set_result(out[i])  # claimed RUNNING above: cannot race
 
     # ---- monitoring -----------------------------------------------------
 
