@@ -151,15 +151,19 @@ def test_face_sentence_captions(tmp_path):
     from tgsr_tpu.data.datasets import TextFaceDataset
 
     (tmp_path / "caps.txt").write_text(
-        "000155 x\tA young woman, smiling.|She wears lipstick.\n"
+        "000155 x\tA young woman, smiling.|She wears  lipstick\n"
         "000249 x\tA man with a beard.\n")
     caps, names = TextFaceDataset.load_sentence_captions(str(tmp_path))
     # = reference name rule: first 7 chars + 'png' (datasets.py:1011)
     assert names == ["000155 png", "000249 png"]
     assert len(caps) == 10  # 5 per image, cycled
     assert caps[0] == ["a", "young", "woman", "smiling"]
-    assert caps[1] == ["she", "wears", "lipstick"]
-    assert caps[2] == caps[0]  # cycling
+    # faithful quirks (datasets.py:1014-1016): exactly ONE trailing char
+    # is chopped — here the final letter 'k' (no period) — and the double
+    # space yields an ''-word that enters the vocab
+    assert caps[1] == ["she", "wears", "", "lipstic"]
+    assert caps[2] == caps[0]  # cycling, no re-chop
+    assert caps[3] == caps[1]
     assert caps[5] == ["a", "man", "with", "a", "beard"]
 
 

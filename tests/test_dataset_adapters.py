@@ -46,13 +46,19 @@ def test_flower_dataset(tmp_path):
                             f"{'red yellow'.split()[j]} color\n")
             _img(root / "jpg" / f"{name}.jpg", seed=cls * 10 + i)
 
-    ds = TextFlowerDataset(str(root), split="train", imsize=64)
-    ds.embeddings_num = 2
+    ds = TextFlowerDataset(str(root), split="train", imsize=64,
+                           embeddings_num=2)
     assert len(ds) == 4  # 2 per class
     assert sorted(set(ds.class_id.tolist())) == [1, 2]
-    ds_t = TextFlowerDataset(str(root), split="test", imsize=64)
-    ds_t.embeddings_num = 2
-    assert len(ds_t) == 6  # 3 per class
+    ds_t = TextFlowerDataset(str(root), split="test", imsize=64,
+                             embeddings_num=2)
+    # reference eval protocol: filenames[::3] (one per class triple) with
+    # ONE deterministic caption each (datasets.py:1294-1296,1341)
+    assert len(ds_t) == 2
+    assert ds_t.embeddings_num == 1 and len(ds_t.captions) == 2
+    ex_t0 = ds_t.__getitem__(0)
+    ex_t0b = ds_t.__getitem__(0)
+    np.testing.assert_array_equal(ex_t0.tokens, ex_t0b.tokens)  # det.
     ex = ds.__getitem__(0, sent_ix=0)
     assert ex.hr.shape == (64, 64, 3)
     assert "flower" in ds.vocab.decode(ex.tokens[: ex.length])
@@ -60,6 +66,34 @@ def test_flower_dataset(tmp_path):
     assert (root / "captions_flower.pickle").exists()
     ds2 = TextFlowerDataset(str(root), split="train", imsize=64)
     assert ds2.vocab.n_words == ds.vocab.n_words
+
+
+def test_flower_brace_placeholder_duplicates_previous(tmp_path):
+    """The reference treats a literal '{}' caption line as 'repeat the
+    previous caption' (datasets.py:1201-1205) so every file still yields
+    embeddings_num captions; dropping it would shift the flat
+    index*embeddings_num addressing for every later image."""
+    root = tmp_path / "flowers"
+    d = root / "text_c10" / "class_00001"
+    d.mkdir(parents=True)
+    files = (["a purple flower", "{}"],
+             ["a yellow flower", "a tall flower"],
+             # last 3 (sorted) files land in the test split
+             ["small flower", "white flower"],
+             ["small flower", "white flower"],
+             ["small flower", "white flower"])
+    for i, lines in enumerate(files):
+        name = f"image_01{i:03d}"
+        (d / f"{name}.txt").write_text("\n".join(lines) + "\n")
+        _img(root / "jpg" / f"{name}.jpg", seed=i)
+
+    ds = TextFlowerDataset(str(root), split="train", imsize=64,
+                           embeddings_num=2)
+    assert len(ds.captions) == 4  # 2 per file, '{}' filled in
+    assert ds.captions[1] == ds.captions[0]  # the duplicate
+    # image 1's captions start at the right flat offset
+    assert "yellow" in ds.vocab.decode(
+        np.asarray(ds.captions[2], np.int32))
 
 
 def _stage_coco(root, n_train=3, n_test=2):
@@ -197,3 +231,28 @@ def test_srgt_small_image_center_pad(tmp_path):
     assert (hr[12:52, 2:62] == 200).all()
     assert (hr[:12] == 0).all() and (hr[52:] == 0).all()
     assert (hr[:, :2] == 0).all() and (hr[:, 62:] == 0).all()
+
+
+def test_train_split_augmentation(tmp_path):
+    """Train splits apply the reference training transform (Resize +
+    RandomCrop + RandomHorizontalFlip, pretrain_DAMSM.py:237-240): the
+    image varies with the rng stream, reproduces under the same stream
+    (exact-resume contract), and eval splits stay deterministic."""
+    from tests.conftest import make_celeba_fixture
+    from tgsr_tpu.data.datasets import TextFaceDataset
+
+    make_celeba_fixture(tmp_path, n_train=2, n_test=1, img_size=90)
+    ds = TextFaceDataset(str(tmp_path), split="train", imsize=64)
+    assert ds.augment
+    a = ds.__getitem__(0, rng=np.random.default_rng(1), sent_ix=0).hr
+    b = ds.__getitem__(0, rng=np.random.default_rng(2), sent_ix=0).hr
+    c = ds.__getitem__(0, rng=np.random.default_rng(1), sent_ix=0).hr
+    assert a.shape == (64, 64, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0  # crops differ
+    np.testing.assert_array_equal(a, c)  # same stream -> same crop
+
+    ds_t = TextFaceDataset(str(tmp_path), split="test", imsize=64)
+    assert not ds_t.augment
+    t1 = ds_t.__getitem__(0, rng=np.random.default_rng(1), sent_ix=0).hr
+    t2 = ds_t.__getitem__(0, rng=np.random.default_rng(2), sent_ix=0).hr
+    np.testing.assert_array_equal(t1, t2)  # eval: deterministic

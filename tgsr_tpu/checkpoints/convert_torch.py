@@ -261,9 +261,8 @@ def convert_netgh_sr_weight(sd: Mapping) -> Dict[str, Any]:
     params["convmd_bn"] = cm_p["bn"]
     stats["convmd_bn"] = cm_s["bn"]
     params["conv_output"] = {"conv": {"kernel": _conv(sd["conv_output.0.weight"])}}
-    params["a"] = _np(sd["a"]) if "a" in sd else None
-    if params["a"] is None:
-        params.pop("a")
+    if "a" in sd:
+        params["a"] = _np(sd["a"])
     return {"params": params, "batch_stats": stats}
 
 
@@ -284,15 +283,24 @@ def convert_netg_low16(sd: Mapping) -> Dict[str, Any]:
 
 
 def convert_netgh_weight16(sd: Mapping, n_res: int = 6,
-                           weightmap: bool = False) -> Dict[str, Any]:
+                           weightmap: bool = False,
+                           keep_unused: bool = True) -> Dict[str, Any]:
     """models16 NetG_highweight .pth -> NetGHighWeight16 variables.
 
     The declared residual816/upscale16x params exist in the torch state
-    dict but are never executed (models16.py:171-173); with fix_bugs=False
-    our module creates no params for them, so they are dropped here."""
+    dict but are never EXECUTED by the faithful (fix_bugs=False) module
+    (models16.py:171-173 reuse residual48/upscale8x instead). They are
+    still CARRIED by default: the fix_bugs=True module consumes them, and
+    export_torch's bit-exact round trip re-emits them. Pass
+    keep_unused=False when the tree must structurally match a
+    fix_bugs=False `module.init` template (orbax StandardRestore, optax
+    state built from init) — flax `apply` itself ignores the extras."""
     out = convert_netgh_weight(sd, n_res=n_res, weightmap=weightmap)
     params, stats = out["params"], out["batch_stats"]
+    unused = () if keep_unused else ("residual816", "upscale16x")
     for name, ckpt_prefix in (("residual816", "residual816"),):
+        if name in unused:
+            continue
         if f"{ckpt_prefix}.0.weight" in sd:
             params[name] = {
                 "conv1": {"kernel": _conv(sd[f"{ckpt_prefix}.0.weight"])},
@@ -302,7 +310,7 @@ def convert_netgh_weight16(sd: Mapping, n_res: int = 6,
             }
             stats[name] = {"bn1": _bn_stats(sd, f"{ckpt_prefix}.1"),
                            "bn2": _bn_stats(sd, f"{ckpt_prefix}.4")}
-    if "upscale16x.1.weight" in sd:
+    if "upscale16x.1.weight" in sd and "upscale16x" not in unused:
         up_p, up_s = _conv_bn(sd, "upscale16x", conv_idx=1, bn_idx=2)
         params["upscale16x"] = up_p
         stats["upscale16x"] = up_s

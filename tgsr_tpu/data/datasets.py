@@ -46,10 +46,18 @@ def _load_image_rgb(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"), np.uint8)
 
 
-def _load_and_resize(path: str, size: int, enlarge: float) -> np.ndarray:
+def _load_and_resize(path: str, size: int, enlarge: float,
+                     rng=None) -> np.ndarray:
     """Decode + antialiased center-crop-resize, preferring the native C++
     loader (tgsr_tpu/native, libjpeg/libpng + triangle filter; max 1/255
-    deviation from PIL) and falling back to PIL."""
+    deviation from PIL) and falling back to PIL. With `rng` (train
+    augmentation) the crop is RANDOM and a coin-flip mirrors the image —
+    the reference training transform Resize(int(imsize*enlarge)) +
+    RandomCrop(imsize) + RandomHorizontalFlip (pretrain_DAMSM.py:237-240,
+    test1.py:185-186); that path decodes via PIL (the native fast path
+    covers the deterministic eval crop)."""
+    if rng is not None:
+        return _random_crop_flip(_load_image_rgb(path), size, enlarge, rng)
     try:
         from tgsr_tpu import native
 
@@ -60,23 +68,44 @@ def _load_and_resize(path: str, size: int, enlarge: float) -> np.ndarray:
     return _center_crop_resize(_load_image_rgb(path), size, enlarge)
 
 
+def _resize_short_side(img: np.ndarray, target: int) -> np.ndarray:
+    """torchvision Resize(int) semantics: short side -> target, long side
+    int(target*long/short) (truncation)."""
+    from PIL import Image
+
+    pil = Image.fromarray(img)
+    w, h = pil.size
+    if w <= h:
+        ow, oh = target, max(target, int(target * h / w))
+    else:
+        ow, oh = max(target, int(target * w / h)), target
+    return np.asarray(pil.resize((ow, oh), Image.BILINEAR), np.uint8)
+
+
+def _random_crop_flip(img: np.ndarray, size: int, enlarge: float,
+                      rng) -> np.ndarray:
+    """RandomCrop(size) + RandomHorizontalFlip over the short-side-resized
+    image (the reference's training transform)."""
+    resized = _resize_short_side(img, max(int(size * enlarge), size))
+    h, w = resized.shape[:2]
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    crop = resized[top:top + size, left:left + size]
+    if rng.random() < 0.5:
+        crop = crop[:, ::-1]
+    return np.ascontiguousarray(crop)
+
+
 def _center_crop_resize(img: np.ndarray, size: int,
                         enlarge: float = 1.0) -> np.ndarray:
     """Resize shorter side to size*enlarge then center-crop size
     (= transforms.Resize(int(imsize*72/64)) + CenterCrop(imsize),
     datasets.py:1558-1561)."""
-    from PIL import Image
-
-    pil = Image.fromarray(img)
-    w, h = pil.size
-    target = int(size * enlarge)
-    scale = target / min(w, h)
-    pil = pil.resize((max(target, int(round(w * scale))),
-                      max(target, int(round(h * scale)))), Image.BILINEAR)
-    w, h = pil.size
+    resized = _resize_short_side(img, max(int(size * enlarge), size))
+    h, w = resized.shape[:2]
     left = (w - size) // 2
     top = (h - size) // 2
-    return np.asarray(pil.crop((left, top, left + size, top + size)), np.uint8)
+    return np.ascontiguousarray(resized[top:top + size, left:left + size])
 
 
 def bbox_crop(img: np.ndarray, bbox: Sequence[int]) -> np.ndarray:
@@ -110,6 +139,10 @@ class _CaptionDatasetBase:
     embeddings_num: int = 1
     words_num: int = 18
     imsize: int = 256
+    # train-split adapters set this True: the reference training transform
+    # is Resize + RandomCrop + RandomHorizontalFlip (pretrain_DAMSM.py:
+    # 237-240, test1.py:185-186); eval stays deterministic center-crop
+    augment: bool = False
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -122,7 +155,7 @@ class _CaptionDatasetBase:
                     rng: Optional[np.random.Generator] = None):
         return encode_caption(self.captions[sent_ix], self.words_num, rng)
 
-    def _image(self, index: int) -> np.ndarray:
+    def _image(self, index: int, rng=None) -> np.ndarray:
         raise NotImplementedError
 
     def __getitem__(self, index: int,
@@ -136,7 +169,9 @@ class _CaptionDatasetBase:
         toks, length = self.get_caption(
             index * self.embeddings_num + sent_ix, rng)
         return Example(
-            hr=self._image(index),
+            # augmentation draws ride the caller's rng: BatchLoader's
+            # (seed, epoch)-deterministic stream keeps exact resume exact
+            hr=self._image(index, rng if self.augment else None),
             tokens=toks.astype(np.int32),
             length=length,
             class_id=int(self.class_id[index]),
@@ -155,6 +190,7 @@ class TextDataset(_CaptionDatasetBase):
                  cache_name: str = "captions.pickle"):
         self.data_dir = data_dir
         self.split = split
+        self.augment = split == "train"  # reference training transform
         self.words_num = words_num
         self.embeddings_num = embeddings_num
         self.imsize = imsize
@@ -216,6 +252,13 @@ class TextDataset(_CaptionDatasetBase):
                 cnt += 1
                 if cnt == self.embeddings_num:
                     break
+            if cnt < self.embeddings_num:
+                # the flat index*embeddings_num addressing is now
+                # misaligned for every later image — surface it at the
+                # cause (reference diagnostic incl. its %-cnt quirk,
+                # datasets.py:364-366)
+                print("ERROR: the captions for %s less than %d"
+                      % (name, cnt))
         return all_caps
 
     @staticmethod
@@ -234,7 +277,7 @@ class TextDataset(_CaptionDatasetBase):
                 return np.asarray(pickle.load(f, encoding="iso-8859-1"))
         return np.arange(total)
 
-    def _image(self, index):
+    def _image(self, index, rng=None):
         key = self.filenames[index]
         if self.bbox is not None:
             img = _load_image_rgb(
@@ -242,6 +285,8 @@ class TextDataset(_CaptionDatasetBase):
             img = bbox_crop(img, self.bbox[key])
         else:
             img = _load_image_rgb(f"{self.data_dir}/images/{key}.jpg")
+        if rng is not None:
+            return _random_crop_flip(img, self.imsize, 76 / 64, rng)
         return _center_crop_resize(img, self.imsize, enlarge=76 / 64)
 
 
@@ -261,6 +306,7 @@ class TextFaceDataset(_CaptionDatasetBase):
         self.data_dir = data_dir
         self.data_dirim = data_dirim or data_dir
         self.split = split
+        self.augment = split == "train"  # reference training transform
         self.words_num = words_num
         self.imsize = imsize
 
@@ -291,17 +337,24 @@ class TextFaceDataset(_CaptionDatasetBase):
                                caps_per_image: int = 5):
         """Sentence-caption variant (= load_caps, datasets.py:1002-1026):
         caps.txt lines are '<7-char id>...\\t<sent1>|<sent2>|...'; 5 captions
-        per image (cycled when fewer); lowercase, commas stripped; the
-        'test' split is the reference's first-5-images slice."""
+        per image (cycled when fewer); the 'test' split is the reference's
+        first-5-images slice. Faithful quirks: the reference chops exactly
+        ONE trailing character per sentence (`[:-1]` — the period when
+        present, the last LETTER otherwise), keeps ''-words from double
+        spaces (they enter the vocab as real indices), and does NOT re-chop
+        the cycled copies (they were processed in place on first visit)."""
         all_caps, names = [], []
         with open(os.path.join(data_dir, "caps.txt")) as f:
             for line in f:
                 sents = line[line.find("\t") + 1:-1].split("|")
                 names.append(line[:7] + "png")
                 for i in range(caps_per_image):
-                    s = sents[i] if len(sents) > i else sents[i % len(sents)]
-                    s = s.rstrip(".").replace(",", "").lower()
-                    all_caps.append([w for w in s.split(" ") if w])
+                    if len(sents) > i:
+                        sents[i] = sents[i][:-1].replace(",", "").lower()
+                        words = sents[i].split(" ")
+                    else:
+                        words = sents[i % len(sents)].split(" ")
+                    all_caps.append(words)
         if not train:
             all_caps = all_caps[: 5 * caps_per_image]
             names = names[:5]
@@ -334,25 +387,30 @@ class TextFaceDataset(_CaptionDatasetBase):
             all_caps.append(toks)
         return all_caps, names
 
-    def _image(self, index):
+    def _image(self, index, rng=None):
+        # train augmentation uses the driver transform's 76/64 enlarge
+        # (pretrain_DAMSM.py:237-240); the deterministic eval path keeps
+        # the example-test 72/64 center crop (datasets.py:1558-1561)
         return _load_and_resize(
             os.path.join(self.data_dirim, "Img", self.filenames[index]),
-            self.imsize, enlarge=72 / 64)
+            self.imsize, enlarge=76 / 64 if rng is not None else 72 / 64,
+            rng=rng)
 
 
 class TextFlowerDataset(_CaptionDatasetBase):
     """Oxford-102 (= datasets.py:1146-1345): per-class text_c10/class_*/
     caption dirs; last 3 files per class are the test split."""
 
-    embeddings_num = 10
-
     def __init__(self, data_dir: str, split: str = "train",
                  words_num: int = 18, imsize: int = 256,
+                 embeddings_num: int = 10,
                  cache_name: str = "captions_flower.pickle"):
         self.data_dir = data_dir
         self.split = split
+        self.augment = split == "train"  # reference training transform
         self.words_num = words_num
         self.imsize = imsize
+        self.embeddings_num = embeddings_num
         cache = os.path.join(data_dir, cache_name)
         if os.path.isfile(cache):
             with open(cache, "rb") as f:
@@ -373,12 +431,21 @@ class TextFlowerDataset(_CaptionDatasetBase):
             self.filenames, self.captions = train_names, train_caps
             self.class_id = np.asarray(train_cls)
         else:
-            self.filenames, self.captions = test_names, test_caps
-            self.class_id = np.asarray(test_cls)
+            # reference eval protocol (datasets.py:1294-1296): one image
+            # per class triple (filenames[::3]) with ONE deterministic
+            # caption per kept image (flat captions[::embeddings_num*3];
+            # __getitem__ uses new_sent_ix = index, datasets.py:1341) —
+            # embeddings_num=1 reproduces that addressing here
+            self.filenames = test_names[::3]
+            self.captions = test_caps[::self.embeddings_num * 3]
+            self.class_id = np.asarray(test_cls[::3])
+            self.embeddings_num = 1
 
     def _scan(self, data_dir):
         train_tok, train_names, train_cls = [], [], []
         test_tok, test_names, test_cls = [], [], []
+        last_cap = None  # reference keeps ONE flat list; '{}' on a file's
+        # first line duplicates the PREVIOUS FILE's last caption
         root = os.path.join(data_dir, "text_c10")
         for cls_dir in sorted(os.listdir(root)):
             m = re.match(r"class_(\d+)", cls_dir)
@@ -394,10 +461,23 @@ class TextFlowerDataset(_CaptionDatasetBase):
                     caps = f.read().decode("utf8").split("\n")
                 toks = []
                 for cap in caps:
-                    if cap:
+                    if cap == "{}":
+                        # reference quirk (datasets.py:1201-1205): a '{}'
+                        # placeholder line DUPLICATES the previous caption
+                        # (the previous FILE's last one when it opens a
+                        # file) so every file still yields embeddings_num
+                        # captions — skipping it instead would misalign
+                        # the flat index*embeddings_num caption addressing
+                        # for every later image
+                        prev = toks[-1] if toks else last_cap
+                        if prev is not None:
+                            toks.append(prev)
+                    elif cap:
                         t = tokenize_caption(cap)
                         if t:
                             toks.append(t)
+                    if toks:
+                        last_cap = toks[-1]
                     if len(toks) == self.embeddings_num:
                         break
                 name = fn[:-4]
@@ -411,10 +491,10 @@ class TextFlowerDataset(_CaptionDatasetBase):
                     train_cls.append(cls)
         return train_tok, train_names, train_cls, test_tok, test_names, test_cls
 
-    def _image(self, index):
+    def _image(self, index, rng=None):
         return _load_and_resize(
             f"{self.data_dir}/jpg/{self.filenames[index]}.jpg",
-            self.imsize, enlarge=76 / 64)
+            self.imsize, enlarge=76 / 64, rng=rng)
 
 
 class TextExampleSRDataset(_CaptionDatasetBase):
@@ -482,7 +562,7 @@ class TextExampleSRDataset(_CaptionDatasetBase):
         self.filenames = filenames
         self.class_id = np.arange(len(self.filenames))
 
-    def _image(self, index):
+    def _image(self, index, rng=None):
         path = os.path.join(self.data_dir, self.image_subdir,
                             self.filenames[index])
         if not os.path.exists(path):
@@ -519,11 +599,11 @@ class TextSRDataset(TextDataset):
 class TextCocoDataset(TextDataset):
     """COCO adapter (= datasets.py:1348-1548): train2014/val2014 images."""
 
-    def _image(self, index):
+    def _image(self, index, rng=None):
         key = self.filenames[index]
         sub = "train2014" if self.split == "train" else "val2014"
         return _load_and_resize(f"{self.data_dir}/images/{sub}/{key}.jpg",
-                                self.imsize, enlarge=76 / 64)
+                                self.imsize, enlarge=76 / 64, rng=rng)
 
 
 class TextSRGTDataset(_CaptionDatasetBase):
@@ -570,7 +650,7 @@ class TextSRGTDataset(_CaptionDatasetBase):
         self.captions = [vocab.encode_tokens(t) for t in raw_caps]
         self.class_id = np.arange(len(self.filenames))
 
-    def _image(self, index):
+    def _image(self, index, rng=None):
         img = _load_image_rgb(os.path.join(self.image_dir,
                                            self.filenames[index]))
         # = transforms.CenterCrop(imsize) with no resize (datasets.py:1726).

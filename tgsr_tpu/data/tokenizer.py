@@ -9,6 +9,7 @@ caption variants (datasets.py:597-692).
 
 from __future__ import annotations
 
+import functools
 import re
 from collections import defaultdict
 from dataclasses import dataclass
@@ -27,7 +28,10 @@ COLOR_WORDS = frozenset(
 )
 
 
+@functools.lru_cache(maxsize=1)
 def _stopwords() -> frozenset:
+    # cached: tokenize_caption calls this per caption, and the nltk corpus
+    # read + frozenset build is ~100k x wasted work on a full CUB scan
     try:
         from nltk.corpus import stopwords
 

@@ -245,9 +245,18 @@ void load_resize_one(const char* path, int target, float enlarge,
   // Clamp so the center-crop window always fits: enlarge < 1.0 would make
   // pre < target and the crop offsets negative (out-of-bounds memcpy).
   int pre = std::max(int(target * enlarge), target);
-  double scale = double(pre) / std::min(im.w, im.h);
-  int rw = std::max(pre, int(std::lround(im.w * scale)));
-  int rh = std::max(pre, int(std::lround(im.h * scale)));
+  // torchvision Resize(int) semantics: the long side TRUNCATES
+  // (int(size*long/short)); rounding instead shifts the center-crop
+  // window by one pixel on some aspect ratios (must match the PIL path
+  // in data/datasets.py::_center_crop_resize)
+  int rw, rh;
+  if (im.w <= im.h) {
+    rw = pre;
+    rh = std::max(pre, int(double(pre) * im.h / im.w));
+  } else {
+    rh = pre;
+    rw = std::max(pre, int(double(pre) * im.w / im.h));
+  }
   std::vector<uint8_t> resized(size_t(rw) * rh * 3);
   resize_bilinear(im.data.data(), im.h, im.w, resized.data(), rh, rw);
   int left = (rw - target) / 2, top = (rh - target) / 2;
