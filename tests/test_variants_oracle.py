@@ -138,3 +138,78 @@ def test_init_stage_gimg_oracle():
     np.testing.assert_allclose(ref_out.numpy(),
                                np.asarray(got).transpose(0, 3, 1, 2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_init_stage_g_fc_oracle():
+    """The fc-seeded family (INIT_STAGE_G, util.py:404-443): torch views
+    the fc output CHANNEL-major (view(-1, ngf, 4, 4)); the NHWC reshape
+    must transpose accordingly or converted fc weights scramble the 4x4
+    seed grid (round-4 review finding)."""
+    from tgsr_tpu.models.variants import InitStageG
+
+    ref = load_reference()
+    torch.manual_seed(47)
+    ngf, ncf = 32, 6
+    net = ref["util"].INIT_STAGE_G(ngf, ncf).eval()
+    _randomize_bn(net)
+    for m in net.modules():  # BN1d too
+        if isinstance(m, torch.nn.BatchNorm1d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+
+    params = {"_FcEntry_0": {
+        "fc": {"kernel": net.fc[0].weight.detach().numpy().T},
+        "fc_bn": {"scale": net.fc[1].weight.detach().numpy(),
+                  "bias": net.fc[1].bias.detach().numpy()},
+    }}
+    stats = {"_FcEntry_0": {
+        "fc_bn": {"mean": net.fc[1].running_mean.numpy(),
+                  "var": net.fc[1].running_var.numpy()},
+    }}
+    for i in range(1, 5):
+        up = getattr(net, f"upsample{i}")
+        bp, bs = _bn(up, 2)
+        params[f"upsample{i}"] = {
+            "conv": {"kernel": _conv(up[1].weight)}, "bn": bp}
+        stats[f"upsample{i}"] = {"bn": bs}
+
+    g = torch.Generator().manual_seed(48)
+    z = torch.randn(1, 100, generator=g)
+    c = torch.randn(1, ncf, generator=g)
+    with torch.no_grad():
+        ref_out = net(z, c)
+    got = InitStageG(ngf=ngf).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(z.numpy()), jnp.asarray(c.numpy()))
+    np.testing.assert_allclose(ref_out.numpy(),
+                               np.asarray(got).transpose(0, 3, 1, 2),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_word_atten_oracle():
+    """Word_atten (util.py:963-987) incl. its Softmax(dim=1)-over-features
+    quirk: the per-word weights degenerate to 1/256 so the module returns
+    wf/256 — preserved faithfully (round-4 review finding)."""
+    from tgsr_tpu.models.variants import WordAtten
+
+    ref = load_reference()
+    torch.manual_seed(49)
+    net = ref["util"].Word_atten(32, 256).eval()
+
+    params = {
+        "conv1": {"kernel": _conv(net.conv1.weight)},
+        "conv2": {"kernel": _conv(net.conv2.weight)},
+    }
+    g = torch.Generator().manual_seed(50)
+    imf = torch.randn(1, 32, 8, 8, generator=g) * 0.5
+    wf = torch.randn(1, 256, 6, generator=g)
+    with torch.no_grad():
+        ref_out = net(imf, wf)  # [1, 256, 6]
+    got = WordAtten(out_features=256).apply(
+        {"params": params},
+        jnp.asarray(imf.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(wf.numpy().transpose(0, 2, 1)))  # [1, 6, 256]
+    np.testing.assert_allclose(ref_out.numpy(),
+                               np.asarray(got).transpose(0, 2, 1),
+                               rtol=1e-3, atol=1e-5)

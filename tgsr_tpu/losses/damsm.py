@@ -91,7 +91,7 @@ def _words_similarity_matrix(
     if word_scale is not None:
         words_emb = words_emb * word_scale[:, :, None]
 
-    def one_caption(words_i, mask_i):
+    def one_caption(words_i, mask_i, i):
         # broadcast caption i's words against ALL images' regions
         w = jnp.broadcast_to(words_i[None], (B, T, E))
         m = jnp.broadcast_to(mask_i[None], (B, T))
@@ -100,14 +100,14 @@ def _words_similarity_matrix(
         # Eq. (10): log sum_t exp(gamma2 * sim_t) over VALID words only
         sim = jnp.where(mask_i[None, :], NEG_INF, sim * gamma2)
         col = jax.nn.logsumexp(sim, axis=-1)  # [B]
-        return col, attn
+        # only caption i's attention over IMAGE i survives (losses.py:93);
+        # returning the full [B,T,R] per caption would materialize a
+        # [B,B,T,R] tensor (~546 MB HBM at B=128) just to take a diagonal
+        return col, attn[i]
 
-    cols, attns = jax.vmap(one_caption)(words_emb, word_mask)
+    cols, diag_attn = jax.vmap(one_caption)(words_emb, word_mask,
+                                            jnp.arange(B))
     similarities = cols.T  # [img B, caption B]
-    # reference keeps attn of caption i applied to image i (losses.py:93)
-    diag_attn = jnp.take_along_axis(
-        attns, jnp.arange(B)[:, None, None, None], axis=1
-    ).squeeze(1)
     return similarities, diag_attn
 
 

@@ -85,10 +85,15 @@ class DNet(nn.Module):
             size //= 2
         self.downs = downs
         self.extra = extra
-        # conditional head: conv3x3(8ndf+nef -> 8ndf) + BN + LReLU, then 4x4 logit
-        self.joint = _Block3x3LeakyRelu(ndf * 8)
-        self.cond_out = nn.Conv(1, (4, 4), strides=(4, 4), use_bias=True,
-                                padding="VALID", name="cond_out")
+        # conditional head: conv3x3(8ndf+nef -> 8ndf) + BN + LReLU, then
+        # 4x4 logit. b_condition=False (the reference's bcondition
+        # semantics / TRAIN.B_NET_D configs) builds no conditional head at
+        # all — the param tree then matches an unconditional-only D.
+        if self.b_condition:
+            self.joint = _Block3x3LeakyRelu(ndf * 8)
+            self.cond_out = nn.Conv(1, (4, 4), strides=(4, 4),
+                                    use_bias=True, padding="VALID",
+                                    name="cond_out")
         self.uncond_out = nn.Conv(1, (4, 4), strides=(4, 4), use_bias=True,
                                   padding="VALID", name="uncond_out")
 
@@ -104,6 +109,9 @@ class DNet(nn.Module):
     def cond_logit(self, h: jax.Array, sent: jax.Array,
                    train: bool = False) -> jax.Array:
         """COND_DNET(features, sent_emb) -> [B] logits."""
+        if not self.b_condition:
+            raise ValueError("DNet(b_condition=False) has no conditional "
+                             "head (reference bcondition semantics)")
         b = h.shape[0]
         c = jnp.broadcast_to(sent[:, None, None, :], (b, 4, 4, sent.shape[-1]))
         x = jnp.concatenate([h, c], axis=-1)
@@ -117,9 +125,12 @@ class DNet(nn.Module):
         return self.uncond_out(h).reshape(b)
 
     def __call__(self, img, sent, train: bool = False):
-        """Convenience: returns (cond_logit, uncond_logit)."""
+        """Convenience: returns (cond_logit, uncond_logit); cond is None
+        for an unconditional-only D (b_condition=False)."""
         h = self.features(img, train)
-        return self.cond_logit(h, sent, train), self.uncond_logit(h, train)
+        cond = (self.cond_logit(h, sent, train) if self.b_condition
+                else None)
+        return cond, self.uncond_logit(h, train)
 
 
 class ESRGANDNet(nn.Module):

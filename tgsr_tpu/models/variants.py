@@ -39,7 +39,11 @@ class _FcEntry(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="fc_bn")(x)
         x = glu(x)
-        return x.reshape(-1, 4, 4, self.ngf * 2 // 2)  # [B, 4, 4, ngf]
+        # torch seeds the grid CHANNEL-major: view(-1, ngf, 4, 4)
+        # (util.py:433); the NHWC equivalent must reshape in NCHW order
+        # THEN transpose — a direct (-1, 4, 4, ngf) reshape scrambles the
+        # fc features across space and channels for converted weights
+        return x.reshape(-1, self.ngf, 4, 4).transpose(0, 2, 3, 1)
 
 
 class InitStageG(nn.Module):
@@ -263,8 +267,13 @@ class WordAtten(nn.Module):
         h1 = h1.reshape(b, -1, self.out_features)
         h2 = h2.reshape(b, -1, self.out_features)
         w = jax.nn.softmax(jnp.einsum("bpe,bpf->bef", h1, h2), axis=1)
-        iawf = jax.nn.softmax(jnp.einsum("bef,btf->bte", w, words), axis=1)
-        wei = jnp.mean(iawf, axis=-1, keepdims=True)  # [B, T, 1]
+        # faithful quirk: the reference's Softmax(dim=1) normalizes the
+        # FEATURE axis (util.py:984), so the feature-mean below is
+        # identically 1/out_features for every word and the module
+        # degenerates to words/out_features — the author's own note says
+        # it underperforms; preserved per the faithfulness rule
+        iawf = jax.nn.softmax(jnp.einsum("bef,btf->bte", w, words), axis=2)
+        wei = jnp.mean(iawf, axis=-1, keepdims=True)  # [B, T, 1] == 1/e
         return wei * words
 
 

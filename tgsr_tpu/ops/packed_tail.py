@@ -111,7 +111,7 @@ def packed_up_features(x: jax.Array, w_up: jax.Array, bn_mul: jax.Array,
                          bn_add.astype(dt))
 
 
-def fold_bn_eval(scale, bias, mean, var, eps: float = 1e-5):
-    """Eval-mode BN -> (mul, add)."""
-    mul = scale / jnp.sqrt(var + eps)
-    return mul, bias - mean * mul
+# Eval-mode BN -> (mul, add): one implementation, shared with the pallas
+# kernel module (a second copy here had already drifted to 1/sqrt vs
+# rsqrt — same math, but an eps/formula fix would silently miss the twin)
+from tgsr_tpu.ops.pallas_up_head import fold_bn as fold_bn_eval  # noqa: E402,F401,E501
