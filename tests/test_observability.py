@@ -152,3 +152,24 @@ def test_metrics_logger_csv_resume_append(tmp_path):
     lines = open(tmp_path / "train.csv").read().splitlines()
     assert lines[0] == "step,time,loss"
     assert len(lines) == 3 and lines[2].endswith(",0.7")
+
+
+def test_metrics_logger_csv_comma_value_widening(tmp_path):
+    """Round-4 review finding: a string value containing a comma must be
+    csv-quoted, and the header-widening rewrite must parse rows with the
+    csv module — counting raw ',' characters mis-padded every prior row."""
+    import csv as _csv
+
+    m = MetricsLogger(str(tmp_path), "train", csv=True)
+    m.log(1, loss=0.5, note="a,b")
+    m.log(2, loss=0.4, note="plain", extra=7.0)  # widening rewrite fires
+    m.close()
+    with open(tmp_path / "train.csv", newline="") as f:
+        rows = list(_csv.reader(f))
+    header = rows[0]
+    assert header[:2] == ["step", "time"] and header[-1] == "extra"
+    assert all(len(r) == len(header) for r in rows[1:])
+    row1 = dict(zip(header, rows[1]))
+    assert row1["note"] == "a,b" and row1["extra"] == ""
+    row2 = dict(zip(header, rows[2]))
+    assert row2["extra"] == "7.0"

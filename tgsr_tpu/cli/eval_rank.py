@@ -177,11 +177,14 @@ def main(argv=None):
               cfg.TRAIN.SMOOTH.GAMMA3)
     res = {"n": n, "seeded_encoders": seeded}
     for k in (1, 5):
-        if k < n:
+        # R@k is well-defined whenever there is at least one pair (it is
+        # trivially 1.0 when k >= n, which is still worth reporting —
+        # dropping it left the JSON without any rank metric on tiny sets)
+        if n >= 1:
             r = rank_r_precision(feat, code, words, sent, lens, gammas,
-                                 top_k=k)
-            res[f"word_r@{k}"] = r[f"word_r@{k}"]
-            res[f"sent_r@{k}"] = r[f"sent_r@{k}"]
+                                 top_k=min(k, n))
+            res[f"word_r@{k}"] = r[f"word_r@{min(k, n)}"]
+            res[f"sent_r@{k}"] = r[f"sent_r@{min(k, n)}"]
     line = json.dumps(res)
     print(line)
     if args.out:

@@ -264,7 +264,11 @@ def main(argv=None):
             imgs_f = np.asarray(batch["hr"][:4], np.float32) / 127.5 - 1.0
             grid, _ = build_super_images(
                 imgs_f, np.asarray(batch["captions"][:4]),
-                train_ds.vocab.ixtoword, attn_maps[:4], att_sze=r)
+                train_ds.vocab.ixtoword, attn_maps[:4], att_sze=r,
+                # the reference defaults this to cfg.TEXT.WORDS_NUM
+                # (miscc/utils.py:76); leaving visualize.py's 18 diverges
+                # the grid layout for configs with WORDS_NUM != 18
+                max_word_num=cfg.TEXT.WORDS_NUM)
             if grid is not None:
                 Image.fromarray(grid).save(
                     os.path.join(image_dir, f"attention_maps{epoch}.png"))

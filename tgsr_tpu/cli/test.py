@@ -213,6 +213,13 @@ def main(argv=None):
 
     from tgsr_tpu.ops.image import normalize_uint8, resize
 
+    # one jitted degrade fn (shared with the calibration pass): eager ops
+    # on the axon platform pay a remote-compile round trip per op
+    @jax.jit
+    def degrade(hr_uint8):
+        return resize(normalize_uint8(hr_uint8),
+                      (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE), "bilinear")
+
     if args.int8 or args.scales:
         if args.scales:
             import json
@@ -223,19 +230,22 @@ def main(argv=None):
         else:
             # calibrate on the first batch (opt-in serving mode;
             # engine/quant.py); tgsr-calibrate produces a more robust
-            # multi-batch artifact for production use
-            cal = next(iter(BatchLoader(
-                ds, min(args.batch, len(ds)), shuffle=False, drop_last=False,
-                deterministic_captions=True).epoch(0)))
-            cal_lr = jax.jit(lambda h: resize(
-                normalize_uint8(h), (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE),
-                "bilinear"))(jnp.asarray(cal["hr"]))
+            # multi-batch artifact for production use. The absmax
+            # recording must run FULL precision (the scales describe the
+            # unquantized activations — same contract as cli/calibrate):
+            # `pipe` may be bf16, so calibrate on an f32 twin.
+            cal = next(iter(loader.epoch(0)))
+            cal_lr = degrade(jnp.asarray(cal["hr"]))
+            pipe_f32 = SRPipeline(
+                cfg, ds.n_words, pipe.variables["text"],
+                pipe.variables["netg"], pipe.variables["netgh"],
+                compute_dtype=jnp.float32)
             # full scales incl. image heads (the shipped default: int8 heads
             # measure faster once the producer GLU splits apply;
             # engine/quant.py)
-            scales = pipe.calibrate_quant(cal_lr, cal["captions"],
-                                          cal["cap_lens"])
-            src = "batch 0"
+            scales = pipe_f32.calibrate_quant(cal_lr, cal["captions"],
+                                              cal["cap_lens"])
+            src = "batch 0 (f32 pass)"
         pipe = SRPipeline(
             cfg, ds.n_words, pipe.variables["text"], pipe.variables["netg"],
             pipe.variables["netgh"],
@@ -250,13 +260,6 @@ def main(argv=None):
         pipe.save_artifact(args.save_artifact, vocab=ds.vocab,
                            return_attn=False)
         print(f"serving artifact -> {args.save_artifact}")
-
-    # one jitted degrade fn: eager ops on the axon platform pay a
-    # remote-compile round trip per op
-    @jax.jit
-    def degrade(hr_uint8):
-        return resize(normalize_uint8(hr_uint8),
-                      (cfg.TREE.BASE_SIZE, cfg.TREE.BASE_SIZE), "bilinear")
 
     if args.arbitrary:
         from tgsr_tpu.data.datasets import load_arbitrary_eval_image

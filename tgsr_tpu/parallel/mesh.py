@@ -29,7 +29,8 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (
+    assert n_data >= 1 and n_model >= 1 and (
+        n_data * n_model <= len(devices)), (
         f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
     )
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
@@ -76,9 +77,14 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(tree: Any, mesh: Mesh) -> Any:
-    """Shard every leaf's leading axis over 'data'."""
+    """Shard every leaf's leading axis over 'data'; scalar (0-d) leaves
+    (e.g. pad_to_multiple's n_real count) replicate instead of crashing
+    data_sharding with a rank-1 spec."""
+    repl = NamedSharding(mesh, P())
     return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree
+        lambda x: jax.device_put(
+            x, data_sharding(mesh, np.ndim(x)) if np.ndim(x) else repl),
+        tree,
     )
 
 

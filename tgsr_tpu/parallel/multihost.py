@@ -53,6 +53,14 @@ def initialize_distributed(
 
     if coordinator_address is None and num_processes is None \
             and not _cluster_env():
+        if process_id is not None:
+            # an explicit worker id with no way to find the coordinator
+            # must not silently proceed as single-process 0 — the rest of
+            # the pod would hang waiting for this worker
+            raise ValueError(
+                f"process_id={process_id} given but no coordinator is "
+                "discoverable: pass coordinator_address+num_processes or "
+                "set JAX_COORDINATOR_ADDRESS")
         return 0
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

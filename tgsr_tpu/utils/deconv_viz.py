@@ -28,6 +28,7 @@ Weights come from :class:`tgsr_tpu.models.vgg.VGG16Features` params
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -126,6 +127,21 @@ def _select_seed(fmap: np.ndarray, mode: str) -> Tuple[np.ndarray, float]:
     return seed, max_act
 
 
+@functools.lru_cache(maxsize=None)
+def _layer_jits(layer: int):
+    """Per-layer jitted (forward, vjp-apply) pair, cached at module level
+    so repeated vis_layer calls reuse the compiled programs (params/x are
+    ordinary traced arguments)."""
+    fwd = jax.jit(lambda p, im: forward_to_tap(p, im, layer))
+
+    @jax.jit
+    def vjp_apply(p, im, seed_b):
+        _, vjp_fn = jax.vjp(lambda i: forward_to_tap(p, i, layer), im)
+        return vjp_fn(seed_b)[0]
+
+    return fwd, vjp_apply
+
+
 def vis_layer(params: dict, image: jax.Array, layer: int,
               mode: str = "four") -> Tuple[np.ndarray, int]:
     """Deconvnet visualization of VGG16 conv layer ``layer`` for one image.
@@ -144,17 +160,14 @@ def vis_layer(params: dict, image: jax.Array, layer: int,
     # every eager primitive pays a remote-compile round trip (CLAUDE.md),
     # which would turn the ~30-op tower + inverse into minutes of hangs.
     # The host-side channel selection between them forces the split.
-    fwd = jax.jit(lambda im: forward_to_tap(params, im, layer))
-    feats = fwd(x)
+    # Module-level cached per layer: fresh closures per call would retrace
+    # and recompile BOTH programs for every image of a sweep.
+    fwd, vjp_apply = _layer_jits(layer)
+    feats = fwd(params, x)
     fmap = np.asarray(feats[0])
     seed, max_act = _select_seed(fmap, mode)
 
-    @jax.jit
-    def vjp_apply(im, seed_b):
-        _, vjp_fn = jax.vjp(lambda i: forward_to_tap(params, i, layer), im)
-        return vjp_fn(seed_b)[0]
-
-    recon = vjp_apply(x, jnp.asarray(seed, feats.dtype)[None])
+    recon = vjp_apply(params, x, jnp.asarray(seed, feats.dtype)[None])
     img = np.asarray(recon[0], np.float32)
     lo, hi = img.min(), img.max()
     img = (img - lo) / max(hi - lo, 1e-12) * 255.0

@@ -85,12 +85,15 @@ class MetricsLogger:
         self._csv = None
         self._csv_cols = None
         if csv:
+            import csv as _csv
+
             if (os.path.exists(self._csv_path)
                     and os.path.getsize(self._csv_path)):
-                with open(self._csv_path) as f:
-                    header = f.readline().strip()
-                self._csv_cols = header.split(",") if header else None
-            self._csv = open(self._csv_path, "a", buffering=1)
+                with open(self._csv_path, newline="") as f:
+                    header = next(_csv.reader(f), None)
+                self._csv_cols = header or None
+            self._csv = open(self._csv_path, "a", buffering=1, newline="")
+            self._csv_writer = _csv.writer(self._csv)
 
     def log(self, step: int, **metrics) -> None:
         row = {"step": int(step), "time": time.time()}
@@ -106,25 +109,34 @@ class MetricsLogger:
                 if k not in ("step", "time") and isinstance(v, float):
                     self._tb.add_scalar(k, v, int(step))
         if self._csv is not None:
+            import csv as _csv
+
             if self._csv_cols is None:
                 self._csv_cols = list(row)
-                self._csv.write(",".join(self._csv_cols) + "\n")
+                self._csv_writer.writerow(self._csv_cols)
             elif any(k not in self._csv_cols for k in row):
                 # widen the header in place: existing columns keep their
-                # order (new keys append), so old rows only gain padding
+                # order (new keys append), so old rows only gain padding.
+                # Parse with the csv module — a string value containing a
+                # comma is quoted on write, so counting raw ',' chars
+                # would mis-pad every prior row.
                 self._csv_cols += [k for k in row
                                    if k not in self._csv_cols]
                 self._csv.close()
-                with open(self._csv_path) as f:
-                    old = f.read().splitlines()[1:]
-                with open(self._csv_path, "w") as f:
-                    f.write(",".join(self._csv_cols) + "\n")
-                    for line in old:
-                        pad = len(self._csv_cols) - (line.count(",") + 1)
-                        f.write(line + "," * pad + "\n")
-                self._csv = open(self._csv_path, "a", buffering=1)
-            self._csv.write(",".join(str(row.get(c, ""))
-                                     for c in self._csv_cols) + "\n")
+                with open(self._csv_path, newline="") as f:
+                    old = list(_csv.reader(f))[1:]
+                with open(self._csv_path, "w", newline="") as f:
+                    w = _csv.writer(f)
+                    w.writerow(self._csv_cols)
+                    for cells in old:
+                        w.writerow(cells
+                                   + [""] * (len(self._csv_cols)
+                                             - len(cells)))
+                self._csv = open(self._csv_path, "a", buffering=1,
+                                 newline="")
+                self._csv_writer = _csv.writer(self._csv)
+            self._csv_writer.writerow(
+                [str(row.get(c, "")) for c in self._csv_cols])
 
     def close(self) -> None:
         if self._tb is not None:
