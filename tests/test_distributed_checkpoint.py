@@ -103,6 +103,13 @@ def test_sharded_save_restore_resume(tmp_path):
             snap_host = jax.tree.map(np.asarray, s)
         s, metrics, _ = trainer.train_step(s, batch, jax.random.fold_in(
             jax.random.PRNGKey(7), i))
+        # synchronize per step: XLA:CPU's in-process collectives deadlock
+        # intermittently (~1/6 runs) when async dispatch lets TWO sharded
+        # programs be in flight — threads of step k's all-to-all rendezvous
+        # against step k+1's all-reduce and the 40 s watchdog aborts the
+        # whole pytest process (observed twice at this exact loop). A real
+        # multi-chip runtime has no such cross-program interleaving.
+        jax.block_until_ready(s)
     final_ref = s
 
     restored, step = restore_train_state(str(tmp_path / "ckpt"), snap_abs)
@@ -120,6 +127,7 @@ def test_sharded_save_restore_resume(tmp_path):
     for i in range(2, 4):
         s, _, _ = trainer.train_step(s, batch, jax.random.fold_in(
             jax.random.PRNGKey(7), i))
+        jax.block_until_ready(s)  # see the sync note above
     for a, b in zip(jax.tree.leaves(final_ref.g_params),
                     jax.tree.leaves(s.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
