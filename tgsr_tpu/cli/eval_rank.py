@@ -179,12 +179,16 @@ def main(argv=None):
     for k in (1, 5):
         # R@k is well-defined whenever there is at least one pair (it is
         # trivially 1.0 when k >= n, which is still worth reporting —
-        # dropping it left the JSON without any rank metric on tiny sets)
-        if n >= 1:
+        # dropping it left the JSON without any rank metric on tiny sets).
+        # Emit under the k ACTUALLY used (capped at n) so the key never
+        # misdescribes the metric; 1 < n < 5 therefore yields word_r@{n},
+        # and n == 1 yields a single word_r@1 entry.
+        kk = min(k, n)
+        if n >= 1 and f"word_r@{kk}" not in res:
             r = rank_r_precision(feat, code, words, sent, lens, gammas,
-                                 top_k=min(k, n))
-            res[f"word_r@{k}"] = r[f"word_r@{min(k, n)}"]
-            res[f"sent_r@{k}"] = r[f"sent_r@{min(k, n)}"]
+                                 top_k=kk)
+            res[f"word_r@{kk}"] = r[f"word_r@{kk}"]
+            res[f"sent_r@{kk}"] = r[f"sent_r@{kk}"]
     line = json.dumps(res)
     print(line)
     if args.out:

@@ -404,7 +404,12 @@ class TextFlowerDataset(_CaptionDatasetBase):
     def __init__(self, data_dir: str, split: str = "train",
                  words_num: int = 18, imsize: int = 256,
                  embeddings_num: int = 10,
-                 cache_name: str = "captions_flower.pickle"):
+                 cache_name: str = "captions_flower_v2.pickle"):
+        # cache v2: the round-4 '{}'-caption fix changed _scan's output
+        # (a '{}' first line now duplicates the previous file's caption
+        # instead of being dropped), so caches written by the old scan
+        # carry misaligned flat-caption addressing; a new default name
+        # forces a rescan rather than silently loading a stale layout
         self.data_dir = data_dir
         self.split = split
         self.augment = split == "train"  # reference training transform

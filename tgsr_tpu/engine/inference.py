@@ -52,8 +52,18 @@ class SRPipeline:
         self.compute_dtype = compute_dtype
         self.return_attn = return_attn
         # int8 serving mode (engine/quant.py): {"netg": {...}, "netgh": {...}}
-        # calibrated per-conv activation scales; None = full-precision path
-        self.quant_scales = quant_scales or {}
+        # calibrated per-conv activation scales; None = full-precision path.
+        # An optional "_meta" entry (cli.calibrate provenance) is split off
+        # and VERIFIED against the loaded weights below — mismatched scales
+        # must not apply silently.
+        self.quant_scales, self.quant_meta = ({}, {})
+        if quant_scales:
+            from tgsr_tpu.engine.quant import check_scales, split_scales_meta
+
+            self.quant_scales, self.quant_meta = split_scales_meta(
+                quant_scales)
+            check_scales(self.quant_scales, netg_vars, netgh_vars,
+                         meta=self.quant_meta)
         # the HF branch's blurred-LR input (EVAL.INPUT_NETGH 'lrblur' /
         # 'lr-lrblur' = trainer_objective.py:113-114 LRimb, PIL
         # GaussianBlur(2) equivalent); low='lr' never reads it
@@ -170,8 +180,17 @@ class SRPipeline:
         save_variables(os.path.join(path, "variables.msgpack"),
                        self.variables)
         if self.quant_scales:
+            from tgsr_tpu.engine.quant import (SCALES_META_KEY,
+                                               weights_fingerprint)
+
+            # stamp provenance at save time: the bundle's scales are bound
+            # to the bundle's own weights by construction
+            meta = dict(self.quant_meta)
+            meta["weights_fingerprint"] = weights_fingerprint(
+                self.variables["netg"], self.variables["netgh"])
             with open(os.path.join(path, "quant_scales.json"), "w") as f:
-                json.dump(self.quant_scales, f, indent=1, sort_keys=True)
+                json.dump({**self.quant_scales, SCALES_META_KEY: meta},
+                          f, indent=1, sort_keys=True)
         if vocab is not None:
             with open(os.path.join(path, "vocab.json"), "w") as f:
                 json.dump({"ixtoword": vocab.ixtoword}, f)
