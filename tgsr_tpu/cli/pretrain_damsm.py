@@ -222,7 +222,9 @@ def main(argv=None):
     if mesh is not None:
         # DP: every dispatched batch must divide the data axis (the trainer
         # raises otherwise); round the val batch down and drop the tail
-        n_data = mesh.shape["data"]
+        from tgsr_tpu.parallel.mesh import batch_shards
+
+        n_data = batch_shards(mesh)
         val_batch = (val_batch // n_data) * n_data
         if val_batch == 0:
             print(f"val set ({len(val_ds)} items) smaller than the mesh "

@@ -386,9 +386,11 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
     if trainer.mesh is not None:
         # land each host batch DP-sharded (one shard per device) instead of
         # a full copy on device 0; dim 0 shards, the rest replicate
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding
 
-        sharding = NamedSharding(trainer.mesh, P("data"))
+        from tgsr_tpu.parallel.mesh import batch_spec
+
+        sharding = NamedSharding(trainer.mesh, batch_spec(trainer.mesh, 1))
     # exact-resume: `it` global steps already ran, so continue at
     # (epoch, batch) = divmod(it, steps/epoch) -- the loader's order is a
     # pure function of (seed, epoch), so skipping reproduces the

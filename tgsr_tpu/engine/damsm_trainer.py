@@ -93,7 +93,24 @@ class DAMSMTrainer:
         return optax.inject_hyperparams(make)(lr=self.base_lr)
 
     def init_state(self, rng: jax.Array, image_size: int = 299,
-                   batch_size: int = 2) -> DAMSMState:
+                   batch_size: int = 2, init_on_cpu: bool = True
+                   ) -> DAMSMState:
+        """`init_on_cpu` runs the module inits on the host CPU backend
+        (when present) and transfers the trees once. flax init executes
+        eagerly, and on a remote-compile TPU stack every eager op pays a
+        compile round trip — the Inception-v3 init alone is hundreds of
+        ops, i.e. many minutes of apparent hang (the CLAUDE.md trap; same
+        mechanism as GANTrainer.init_state)."""
+        if init_on_cpu:
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None and cpu.platform != jax.devices()[0].platform:
+                with jax.default_device(cpu):
+                    state = self.init_state(rng, image_size, batch_size,
+                                            init_on_cpu=False)
+                return jax.device_put(state, jax.devices()[0])
         cfg = self.cfg
         kt, kc = jax.random.split(rng)
         captions = jnp.ones((batch_size, cfg.TEXT.WORDS_NUM), jnp.int32)
@@ -334,9 +351,9 @@ class DAMSMTrainer:
         if self.mesh is not None:
             # place host batches directly in their DP layout so the step's
             # with_sharding_constraint is a no-op instead of a reshard
-            from tgsr_tpu.parallel.mesh import shard_batch
+            from tgsr_tpu.parallel.mesh import batch_shards, shard_batch
 
-            n_data = self.mesh.shape["data"]
+            n_data = batch_shards(self.mesh)
             b = out["captions"].shape[0]
             if b % n_data:
                 raise ValueError(

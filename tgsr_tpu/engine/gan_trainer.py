@@ -393,13 +393,17 @@ class GANTrainer:
             """batch: real_pyramid (list of [B,s,s,3]), lr [B,b,b,3],
             captions [B,T], cap_lens [B], class_ids [B]."""
             if self.mesh is not None:
-                # DP: pin every batch leaf to 'data' on dim 0 regardless of
-                # how the caller placed it; params/opt-state keep their
-                # caller-supplied shardings (replicated or TP over 'model').
+                # DP: pin every batch leaf to the mesh's batch axes on dim 0
+                # (('dcn','data') on hybrid multi-slice meshes, 'data'
+                # otherwise) regardless of how the caller placed it;
+                # params/opt-state keep their caller-supplied shardings
+                # (replicated or TP over 'model').
+                from tgsr_tpu.parallel.mesh import batch_spec
+
                 batch = jax.tree.map(
                     lambda x: jax.lax.with_sharding_constraint(
-                        x, NamedSharding(
-                            self.mesh, P("data", *([None] * (x.ndim - 1))))),
+                        x, NamedSharding(self.mesh,
+                                         batch_spec(self.mesh, x.ndim))),
                     batch,
                 )
             rng_ca, rng_next = jax.random.split(rng)

@@ -353,9 +353,12 @@ class SRPipeline:
     def _build_forward(self):
         forward = self._forward_fn()
         if self.mesh is not None:
-            data = NamedSharding(self.mesh, P("data"))
-            data4 = NamedSharding(self.mesh, P("data", None, None, None))
-            data2 = NamedSharding(self.mesh, P("data", None))
+            from tgsr_tpu.parallel.mesh import batch_spec
+
+            # batch axes: ('dcn','data') on hybrid meshes, 'data' otherwise
+            data = NamedSharding(self.mesh, batch_spec(self.mesh, 1))
+            data4 = NamedSharding(self.mesh, batch_spec(self.mesh, 4))
+            data2 = NamedSharding(self.mesh, batch_spec(self.mesh, 2))
             return jax.jit(
                 forward,
                 in_shardings=(None, data4, data2, data),

@@ -37,6 +37,63 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
+def make_hybrid_mesh(
+    n_slices: int,
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('dcn', 'data', 'model') mesh for multi-slice deployments.
+
+    Multi-slice TPU pods connect chips WITHIN a slice over ICI and slices
+    to each other over the much slower DCN, so the only collective that
+    should cross slices is DP's per-step gradient all-reduce (the
+    standard hybrid recipe; docs/SCALING.md "Multi-slice"). This helper
+    encodes that: the leading 'dcn' axis enumerates slices (shard batch
+    over it together with 'data' via `hybrid_data_spec`), while 'model'
+    (TP) stays strictly intra-slice.
+
+    On runtimes that expose slice topology (real multi-slice TPU), the
+    device grid comes from `mesh_utils.create_hybrid_device_mesh`, which
+    orders devices so the DCN axis truly maps to slice boundaries. On
+    runtimes without slice granules (CPU tests, single-slice chips) it
+    falls back to a row-major reshape — same mesh semantics, simulated
+    topology — so the sharding/collective program is testable anywhere.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // (n_slices * n_model)
+    need = n_slices * n_data * n_model
+    assert n_slices >= 1 and n_data >= 1 and n_model >= 1 and \
+        need <= len(devices), (
+            f"hybrid mesh {n_slices}x{n_data}x{n_model} needs {need} "
+            f"devices, have {len(devices)}")
+    try:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, n_data, n_model), (n_slices, 1, 1), devices=devices[:need])
+        grid = grid.reshape(n_slices, n_data, n_model)
+    except Exception:
+        # no slice granules on this runtime: simulate the topology
+        grid = np.asarray(devices[:need]).reshape(n_slices, n_data,
+                                                  n_model)
+    return Mesh(grid, ("dcn", "data", "model"))
+
+
+def hybrid_data_spec(ndim: int = 1) -> P:
+    """Batch partition spec on a hybrid mesh: DP over slices x intra-slice
+    chips (axis 0 sharded over BOTH 'dcn' and 'data')."""
+    return P(("dcn", "data"), *([None] * (ndim - 1)))
+
+
+def hybrid_shard_batch(tree: Any, mesh: Mesh) -> Any:
+    """Shard every leaf's leading axis over ('dcn', 'data'); scalars
+    replicate. Alias of shard_batch, which is batch_axes-aware — kept as
+    the documented entry point next to make_hybrid_mesh."""
+    return shard_batch(tree, mesh)
+
+
 def parse_mesh_arg(spec: str) -> tuple:
     """Parse a CLI mesh spec 'DATAxMODEL' (e.g. '8x1') -> (n_data, n_model).
     Raises ValueError on anything else — the CLIs turn that into a
@@ -64,10 +121,35 @@ def fast_forward_key(key, n: int, index: int):
             key, jnp.int32(n))
 
 
+def batch_axes(mesh: Mesh) -> tuple:
+    """The mesh axes a batch dim shards over: ('dcn', 'data') on hybrid
+    multi-slice meshes (make_hybrid_mesh), ('data',) on flat meshes — so
+    every DP consumer (trainers, inference, shard_batch) is topology-
+    agnostic."""
+    axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    return axes or ("data",)
+
+
+def batch_spec(mesh: Mesh, ndim: int = 1) -> P:
+    """Batch partition spec for `mesh`: axis 0 over batch_axes(mesh)."""
+    axes = batch_axes(mesh)
+    first = axes[0] if len(axes) == 1 else axes  # plain name on flat meshes
+    return P(first, *([None] * (ndim - 1)))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard axis 0 over 'data', replicate the rest."""
-    spec = P("data", *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
+    """Shard axis 0 over the mesh's batch axes, replicate the rest."""
+    return NamedSharding(mesh, batch_spec(mesh, ndim))
+
+
+def batch_shards(mesh: Mesh) -> int:
+    """How many ways the batch dim shards on `mesh` (the divisibility
+    requirement for DP batches): data axis size, times the dcn axis on
+    hybrid meshes."""
+    n = 1
+    for a in batch_axes(mesh):
+        n *= mesh.shape[a]
+    return n
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

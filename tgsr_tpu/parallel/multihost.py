@@ -82,11 +82,12 @@ def global_batch_from_local(mesh: Mesh, local_batch: Any) -> Any:
     the 'data' mesh axis without any host ever holding the full batch --
     the per-host input pipeline pattern of SURVEY.md 2.11.
     """
+    from tgsr_tpu.parallel.mesh import batch_spec
+
     def one(x):
         x = np.asarray(x)
-        spec = P("data", *([None] * (x.ndim - 1)))
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), x)
+            NamedSharding(mesh, batch_spec(mesh, x.ndim)), x)
 
     return jax.tree.map(one, local_batch)
 
