@@ -94,9 +94,21 @@ def main():
         tok[i, :L] = c[:L]
         lens[i] = L
 
+    # serve with the shipped trained NET_E when present (the product
+    # configuration: cli.test/serve auto-load it; the shipped int8 scales
+    # are calibrated under it) — seeded fallback keeps the bench running
+    # on a checkout without the artifact
+    from tgsr_tpu.checkpoints.shipped import shipped_net_e
+
+    net_e = shipped_net_e(vocab)
+    print(f"[bench] text encoder: "
+          f"{'shipped trained NET_E' if net_e else 'seeded init'}",
+          file=sys.stderr)
+
     pipe = SRPipeline.from_reference_checkpoints(
         cfg, vocab,
         os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
+        text_encoder_path=net_e,
         compute_dtype=jnp.bfloat16,
     )
 
@@ -193,6 +205,7 @@ def main():
     pipe_f32 = SRPipeline.from_reference_checkpoints(
         cfg, vocab,
         os.path.join(ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
+        text_encoder_path=net_e,
         compute_dtype=jnp.float32,
     )
     o16 = np.asarray(pipe(lr1[None], tok[:1], lens[:1])["sr"])

@@ -63,6 +63,10 @@ def main(argv=None):
     parser.add_argument("--ckpt_dir", default="",
                         help="directory holding netG/netGH files when the "
                              "YAML's TRAIN.NET_G path doesn't exist")
+    parser.add_argument("--seeded-text", action="store_true",
+                        help="force the seeded-init text encoder (parity "
+                             "protocol) instead of cfg NET_E / the "
+                             "shipped trained NET_E")
     parser.add_argument("--text_encoder", default="",
                         help="trained text-encoder weights (.pth/.msgpack); "
                              "default = the seeded-init convention")
@@ -115,10 +119,17 @@ def main(argv=None):
     netg_path = resolve_netg_path(cfg, args.ckpt_dir)
 
     # calibration runs the FULL-PRECISION pipeline (the recorded absmaxes
-    # must describe the unquantized activations)
+    # must describe the unquantized activations), with the SAME text
+    # encoder the serving CLIs will resolve (word embeddings feed the
+    # attention path, so the NET_E choice shifts activation ranges)
+    from tgsr_tpu.checkpoints.shipped import resolve_net_e
+
+    net_e_path, net_e_src = resolve_net_e(
+        cfg, args.text_encoder, ds.n_words, seeded=args.seeded_text)
+    print(f"text encoder: {net_e_src}")
     pipe = SRPipeline.from_reference_checkpoints(
         cfg, ds.n_words, netg_path,
-        text_encoder_path=args.text_encoder or None,
+        text_encoder_path=net_e_path,
         compute_dtype=jnp.float32, text_seed=args.text_seed)
 
     loader = BatchLoader(ds, min(args.batch, len(ds)), shuffle=False,
@@ -192,6 +203,7 @@ def main(argv=None):
         "weights_fingerprint": weights_fingerprint(
             pipe.variables["netg"], pipe.variables["netgh"]),
         "checkpoint": os.path.basename(netg_path),
+        "text_encoder": net_e_src,
         "calibration": f"{len(views)} views, margin {args.margin}",
         "gate_db": round(psnr, 2),
         "gate_protocol": "bf16+int8 vs f32 (conservative)",

@@ -198,6 +198,13 @@ def main(argv=None):
                              "the shipped face_S8 scales don't describe")
     parser.add_argument("--f32", action="store_true",
                         help="full f32 (default bf16)")
+    parser.add_argument("--text_encoder", default="",
+                        help="trained text-encoder weights (.pth or "
+                             ".msgpack) for the --cfg/--netg boot path")
+    parser.add_argument("--seeded-text", action="store_true",
+                        help="force the seeded-init text encoder instead "
+                             "of resolving cfg NET_E / the shipped "
+                             "trained NET_E")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -262,8 +269,17 @@ def main(argv=None):
             from tgsr_tpu.engine.quant import face_s8_scales
 
             quant = face_s8_scales()
+        # NET_E resolution: flag > cfg NET_E > shipped trained NET_E >
+        # seeded (same contract as cli.test)
+        from tgsr_tpu.checkpoints.shipped import resolve_net_e
+
+        net_e_path, net_e_src = resolve_net_e(
+            cfg, args.text_encoder, vocab.n_words,
+            seeded=args.seeded_text)
+        print(f"[serve] text encoder: {net_e_src}", flush=True)
         pipe = SRPipeline.from_reference_checkpoints(
             cfg, vocab.n_words, args.netg,
+            text_encoder_path=net_e_path,
             compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
             quant_scales=quant)
     httpd = make_server(pipe, vocab, host=args.host, port=args.port,

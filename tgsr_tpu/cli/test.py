@@ -138,6 +138,10 @@ def main(argv=None):
                              "snapshot — netGH paired by name either way)")
     parser.add_argument("--text_encoder", default="",
                         help="trained text-encoder weights (.pth or .msgpack)")
+    parser.add_argument("--seeded-text", action="store_true",
+                        help="force the seeded-init text encoder (the "
+                             "parity protocol) instead of resolving "
+                             "cfg NET_E / the shipped trained NET_E")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -194,9 +198,18 @@ def main(argv=None):
     ds = build_example_dataset(cfg)
     netg_path = resolve_netg_path(cfg, args.ckpt_dir)
 
+    # NET_E resolution: flag > cfg NET_E > shipped trained NET_E > seeded
+    # (the reference REQUIRES a trained NET_E, trainer_objective.py:62-67;
+    # the snapshot ships none, so the rebuild ships its own)
+    from tgsr_tpu.checkpoints.shipped import resolve_net_e
+
+    net_e_path, net_e_src = resolve_net_e(
+        cfg, args.text_encoder, ds.n_words, seeded=args.seeded_text)
+    print(f"text encoder: {net_e_src}")
+
     pipe = SRPipeline.from_reference_checkpoints(
         cfg, ds.n_words, netg_path,
-        text_encoder_path=args.text_encoder or None,
+        text_encoder_path=net_e_path,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         return_attn=True,
         text_seed=args.manualSeed,
