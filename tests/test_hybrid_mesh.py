@@ -75,6 +75,7 @@ def test_hybrid_dp_equals_unsharded():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_hybrid_trainer_step_matches_flat_mesh():
     """One GANTrainer DP step on the hybrid ('dcn','data','model') mesh
     equals the same step on the flat ('data','model') mesh: the slice

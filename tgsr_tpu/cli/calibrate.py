@@ -203,7 +203,8 @@ def main(argv=None):
         "weights_fingerprint": weights_fingerprint(
             pipe.variables["netg"], pipe.variables["netgh"]),
         "checkpoint": os.path.basename(netg_path),
-        "text_encoder": net_e_src,
+        "text_encoder": (os.path.basename(net_e_path) if net_e_path
+                         else net_e_src),
         "calibration": f"{len(views)} views, margin {args.margin}",
         "gate_db": round(psnr, 2),
         "gate_protocol": "bf16+int8 vs f32 (conservative)",
