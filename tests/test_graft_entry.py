@@ -18,6 +18,7 @@ import pytest
 from tests.conftest import REPO_ROOT
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_forces_backend():
     env = dict(os.environ)
     # Simulate the driver: a live backend with only ONE device and no
@@ -38,7 +39,8 @@ def test_dryrun_multichip_self_forces_backend():
     )
     proc = subprocess.run(
         [sys.executable, "-c", prog], env=env, cwd=REPO_ROOT,
-        capture_output=True, text=True, timeout=1200,
+        # 6 legs; measured 843 s under a fully loaded host (round 5)
+        capture_output=True, text=True, timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multichip(8) OK" in proc.stdout, proc.stdout
