@@ -47,6 +47,21 @@ def test_hybrid_data_spec():
     assert hybrid_data_spec(4) == P(("dcn", "data"), None, None, None)
 
 
+def test_batch_axes_and_shards():
+    from tgsr_tpu.parallel.mesh import (batch_axes, batch_shards,
+                                        batch_spec, make_mesh)
+
+    flat = make_mesh(n_data=4, n_model=2)
+    assert batch_axes(flat) == ("data",)
+    assert batch_spec(flat, 4) == P("data", None, None, None)  # plain name
+    assert batch_shards(flat) == 4
+
+    hybrid = make_hybrid_mesh(n_slices=2, n_data=2, n_model=2)
+    assert batch_axes(hybrid) == ("dcn", "data")
+    assert batch_spec(hybrid, 2) == P(("dcn", "data"), None)
+    assert batch_shards(hybrid) == 4  # 2 slices x 2 intra-slice
+
+
 def test_hybrid_dp_equals_unsharded():
     """A conv+reduce 'training-like' computation sharded over the hybrid
     DP axes equals the unsharded run; grads psum across slices."""
