@@ -122,6 +122,17 @@ def main() -> None:
     log(f"global batch assembled: lr sum {lr_sum:.6f} "
         f"(host full-batch sum {float(lr.sum()):.6f})")
 
+    # land_batch: the CLI landing helper (full host batch in, per-process
+    # slice contributed; metadata lists slice host-side)
+    from tgsr_tpu.parallel.multihost import land_batch
+
+    lb = land_batch(mesh, {"lr": lr, "keys": [f"k{i}" for i in range(B)]})
+    lb_sum = float(jax.jit(lambda b: jnp.sum(b["lr"]))(lb))
+    assert abs(lb_sum - float(lr.sum())) < 1e-3, (lb_sum, float(lr.sum()))
+    want_keys = ([f"k{i}" for i in range(sl.start, sl.stop)]
+                 if nproc > 1 else [f"k{i}" for i in range(B)])
+    assert lb["keys"] == want_keys, lb["keys"]
+
     k = jax.random.PRNGKey(0)
     enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
     text_vars = enc.init(k, jnp.ones((2, T), jnp.int32),

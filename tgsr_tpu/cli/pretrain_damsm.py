@@ -81,6 +81,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # join a multi-process runtime BEFORE any backend use (no-op outside a
+    # cluster env; on TPU pods the topology is autodetected)
+    from tgsr_tpu.parallel.multihost import initialize_distributed
+
+    initialize_distributed()
+
     from tgsr_tpu.config import enable_compile_cache
 
     enable_compile_cache()

@@ -116,6 +116,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # join a multi-process runtime BEFORE any backend use (no-op outside a
+    # cluster env; on TPU pods the topology is autodetected)
+    from tgsr_tpu.parallel.multihost import initialize_distributed
+
+    initialize_distributed()
+
     from tgsr_tpu.checkpoints.io import load_variables, save_variables
     from tgsr_tpu.config import config_from_file
     from tgsr_tpu.data.datasets import TextFaceDataset, TextSRDataset
@@ -404,8 +410,19 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
 
             host_iter = itertools.islice(host_iter, skip, None)
             skip = 0
-        for batch in device_prefetch(host_iter, depth=2,
-                                     sharding=sharding):
+        if trainer.mesh is not None and jax.process_count() > 1:
+            # multi-process: a plain device_put would target other hosts'
+            # devices; each process lands only its slice of the global
+            # batch (parallel.multihost.land_batch). The deterministic
+            # loader replays the SAME stream on every host, so slicing is
+            # consistent; exact-resume semantics are unchanged.
+            from tgsr_tpu.parallel.multihost import land_batch
+
+            batch_iter = (land_batch(trainer.mesh, b) for b in host_iter)
+        else:
+            batch_iter = device_prefetch(host_iter, depth=2,
+                                         sharding=sharding)
+        for batch in batch_iter:
             pre = device_preprocess(jnp.asarray(batch["hr"]),
                                     cfg.TREE.BRANCH_NUM, cfg.TREE.BASE_SIZE,
                                     with_blur=False)

@@ -351,7 +351,8 @@ class DAMSMTrainer:
         if self.mesh is not None:
             # place host batches directly in their DP layout so the step's
             # with_sharding_constraint is a no-op instead of a reshard
-            from tgsr_tpu.parallel.mesh import batch_shards, shard_batch
+            from tgsr_tpu.parallel.multihost import land_batch
+            from tgsr_tpu.parallel.mesh import batch_shards
 
             n_data = batch_shards(self.mesh)
             b = out["captions"].shape[0]
@@ -361,5 +362,7 @@ class DAMSMTrainer:
                     f"({n_data}); use a drop_last loader (the reference "
                     f"semantics, pretrain_DAMSM.py:248) or pad the host "
                     f"batch with parallel.mesh.pad_to_multiple")
-            out = shard_batch(out, self.mesh)
+            # land_batch: pre-sharded device_put on one process, per-host
+            # slice assembly under a multi-process runtime
+            out = land_batch(self.mesh, out)
         return out

@@ -86,10 +86,58 @@ def global_batch_from_local(mesh: Mesh, local_batch: Any) -> Any:
 
     def one(x):
         x = np.asarray(x)
+        spec = batch_spec(mesh, x.ndim) if x.ndim else P()
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, batch_spec(mesh, x.ndim)), x)
+            NamedSharding(mesh, spec), x)
 
     return jax.tree.map(one, local_batch)
+
+
+def land_batch(mesh: Mesh, host_batch: Any) -> Any:
+    """Topology-agnostic DP batch landing for the training CLIs.
+
+    Single-process: `shard_batch` (device_put each leaf pre-sharded on
+    the mesh's batch axes). Multi-process: every process slices its
+    `process_local_slice` out of the (identical) host batch and
+    contributes it via `global_batch_from_local` — a device_put of the
+    full batch would target non-addressable devices. Arrays must hold
+    the FULL global batch on every process (the deterministic-loader
+    convention: each host replays the same stream and lands only its
+    slice); pipelines with genuinely per-host streams call
+    `global_batch_from_local` directly. 0-d leaves replicate.
+    """
+    from tgsr_tpu.parallel.mesh import batch_spec, data_sharding
+
+    def is_meta(x):  # host-side metadata lists (e.g. prepare_batch "keys")
+        return isinstance(x, list) and bool(x) and isinstance(x[0], str)
+
+    def is_arr(x):
+        return isinstance(x, (np.ndarray, jax.Array)) and np.ndim(x)
+
+    if jax.process_count() == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, data_sharding(mesh, np.ndim(x)) if np.ndim(x) else repl)
+            if isinstance(x, (np.ndarray, np.generic, jax.Array)) else x,
+            host_batch, is_leaf=is_meta)
+
+    dims = {np.shape(x)[0]
+            for x in jax.tree.leaves(host_batch, is_leaf=is_meta)
+            if is_arr(x)}
+    assert len(dims) == 1, f"mixed leading dims {dims}"
+    sl = process_local_slice(dims.pop())
+
+    def one(x):
+        if is_arr(x):
+            arr = np.asarray(x)[sl]
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, batch_spec(mesh, arr.ndim)), arr)
+        if is_meta(x):
+            return x[sl]
+        return x
+
+    return jax.tree.map(one, host_batch, is_leaf=is_meta)
 
 
 def process_local_slice(n_global: int) -> slice:
