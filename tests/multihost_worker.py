@@ -127,7 +127,7 @@ def main() -> None:
     from tgsr_tpu.parallel.multihost import land_batch
 
     lb = land_batch(mesh, {"lr": lr, "keys": [f"k{i}" for i in range(B)]})
-    lb_sum = float(jax.jit(lambda b: jnp.sum(b["lr"]))(lb))
+    lb_sum = float(jax.jit(jnp.sum)(lb["lr"]))  # keys list is host-side
     assert abs(lb_sum - float(lr.sum())) < 1e-3, (lb_sum, float(lr.sum()))
     want_keys = ([f"k{i}" for i in range(sl.start, sl.stop)]
                  if nproc > 1 else [f"k{i}" for i in range(B)])

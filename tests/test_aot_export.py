@@ -19,6 +19,7 @@ def _inputs(n, seed=0):
     return lr, caps, lens
 
 
+@pytest.mark.slow
 def test_aot_roundtrip_symbolic_batch(tmp_path):
     pipe = build_small_pipe()
     out = export_serving(pipe, str(tmp_path / "aot"))
@@ -128,6 +129,7 @@ def test_export_aot_cli_from_bundle(tmp_path):
         main(["--out", str(tmp_path / "x")])
 
 
+@pytest.mark.slow
 def test_aot_quantized_graph(tmp_path):
     """The int8 interceptor graph exports too: the artifact reproduces the
     QUANTIZED pipeline's output, not the float one's."""

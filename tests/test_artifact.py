@@ -29,6 +29,7 @@ def test_artifact_roundtrip_bitexact(tmp_path):
                                   pipe2.sr_uint8(lr, caps, lens))
 
 
+@pytest.mark.slow
 def test_artifact_quant_and_overrides(tmp_path):
     import jax.numpy as jnp
 

@@ -43,6 +43,7 @@ def test_pretrain_damsm_cli_end_to_end(face_fixture, tmp_path):
     assert any(s.startswith("image_encoder") for s in snaps), snaps
 
 
+@pytest.mark.slow
 def test_pretrain_damsm_cli_resume_matches_uninterrupted(face_fixture,
                                                          tmp_path):
     """--resume_from text_encoder<N> continues at epoch N+1 (the
@@ -112,6 +113,7 @@ def test_pretrain_damsm_cli_resume_matches_uninterrupted(face_fixture,
                      "--resume_from", "weights.msgpack"])
 
 
+@pytest.mark.slow
 def test_pretrain_damsm_cli_mesh_dp(face_fixture, tmp_path):
     """--mesh 2x1 runs the same epoch data-parallel (8 virtual CPU
     devices from conftest); snapshots still land."""

@@ -32,6 +32,7 @@ def face_fixture(tmp_path):
     return tmp_path, cfg
 
 
+@pytest.mark.slow
 def test_train_gan_cli_end_to_end_and_resume(face_fixture, tmp_path):
     data_dir, cfg = face_fixture
     out = tmp_path / "out"
@@ -70,6 +71,7 @@ def test_train_gan_cli_end_to_end_and_resume(face_fixture, tmp_path):
     assert latest_step(str(out / "ckpt")) >= first + 2
 
 
+@pytest.mark.slow
 def test_train_gan_cli_resume_exact_equivalence(face_fixture, tmp_path):
     """--resume continues the EXACT uninterrupted run: same data order
     (deterministic loader + batch skip) and same rng stream
@@ -169,6 +171,7 @@ def test_train_gan_cli_warm_start_from_reference(face_fixture, tmp_path):
               "--out_dir", str(out), "--init_netg", "/nonexistent.pth"])
 
 
+@pytest.mark.slow
 def test_train_gan_cli_nan_abort(face_fixture, tmp_path):
     """Failure detection: a diverging run (absurd lr) must abort with a
     clear message pointing at the last periodic checkpoint instead of
@@ -195,6 +198,7 @@ def test_train_gan_cli_nan_abort(face_fixture, tmp_path):
     assert "NaN/Inf" in str(e.value)
 
 
+@pytest.mark.slow
 def test_train_gan_cli_mesh_fsdp(face_fixture, tmp_path):
     """--mesh 2x1 --fsdp: the CLI trains DP-sharded with FSDP state
     storage, checkpoints, and resumes back into the same layout (the

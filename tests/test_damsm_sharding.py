@@ -7,6 +7,8 @@ inserted collectives reproduce the GLOBAL-batch semantics exactly.
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -38,6 +40,7 @@ def _mesh():
                 ("data", "model"))
 
 
+@pytest.mark.slow
 def test_damsm_sharded_step_matches_single_device():
     cfg, vocab, batch = _setup()
     k = jax.random.PRNGKey(0)

@@ -35,6 +35,7 @@ class _SyntheticLoader:
         return iter(self.batches)
 
 
+@pytest.mark.slow
 def test_damsm_trains_and_loss_decreases():
     import dataclasses
 

@@ -10,6 +10,8 @@ The reference has no checkpoint-resume at all beyond filename parsing
 (pretrain_DAMSM.py:182-185) and no multi-device anything (SURVEY.md 2.11).
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -83,6 +85,7 @@ def _abstract(tree):
     )
 
 
+@pytest.mark.slow
 def test_sharded_save_restore_resume(tmp_path):
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
                 ("data", "model"))
@@ -155,6 +158,7 @@ def test_topology_portable_restore(tmp_path):
         assert b.sharding == t.sharding
 
 
+@pytest.mark.slow
 def test_async_checkpointer_donation_safe(tmp_path):
     """TrainCheckpointer.save returns after the device->host snapshot;
     donated steps that immediately reuse the saved state's device buffers

@@ -8,6 +8,8 @@ donated steps. The reference has no parallelism at all (SURVEY.md 2.11);
 this is the memory-side scaling axis DP alone lacks.
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -58,6 +60,7 @@ def test_fsdp_spec():
     assert fsdp_spec((4096,), 1) == P()             # single shard
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_unsharded():
     cfg, vocab, text_vars, batch = _setup(B=8)
     k = jax.random.PRNGKey(0)
@@ -95,6 +98,7 @@ def test_fsdp_step_matches_unsharded():
                                    rtol=2e-3, atol=one_step)
 
 
+@pytest.mark.slow
 def test_fsdp_layout_real_and_stable():
     cfg, vocab, text_vars, batch = _setup(B=8)
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),

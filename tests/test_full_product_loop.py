@@ -13,6 +13,8 @@ image-encoder snapshot was previously unloadable by cli.train_gan, and
 msgpack generator snapshots unloadable by the eval path).
 """
 
+import pytest
+
 import glob
 import json
 import os
@@ -22,6 +24,7 @@ import numpy as np
 from tests.test_cli_train_gan import face_fixture  # noqa: F401
 
 
+@pytest.mark.slow
 def test_pretrain_train_infer_chain(face_fixture, tmp_path):  # noqa: F811
     data_dir, gan_cfg = face_fixture
 

@@ -405,6 +405,7 @@ def test_words_reweight_parity(ref_losses):
     np.testing.assert_allclose(float(j1), l1.item(), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_esrgan_dnet_with_relativistic_losses():
     """ESRGANDNet (models/discriminator.py): logits contract + one D/G
     gradient step through the ESRGAN loss pair stays finite."""

@@ -7,6 +7,8 @@
    convention; see ADVICE.md round-1 medium finding).
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -46,6 +48,7 @@ def _setup(B=8):
     return cfg, vocab, text_vars, batch
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     cfg, vocab, text_vars, batch = _setup(B=8)
     k = jax.random.PRNGKey(0)
@@ -110,6 +113,7 @@ def test_d_batch_stats_update():
     assert np.isfinite(float(metrics["d_loss"]))
 
 
+@pytest.mark.slow
 def test_train_steps_scan_matches_loop():
     """K steps via lax.scan inside one jit == K sequential train_step calls
     (same rng chain, same batches)."""
@@ -143,6 +147,7 @@ def test_train_steps_scan_matches_loop():
                                    rtol=2e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_train_step_with_image_encoder():
     """The DAMSM-terms path inside the G update (generator_loss with a real
     image_encoder closure): losses finite, w/s terms present and nonzero."""
@@ -186,6 +191,7 @@ def test_train_step_with_image_encoder():
     assert float(m0["w_loss"]) == 0.0 and float(m0["s_loss"]) == 0.0
 
 
+@pytest.mark.slow
 def test_mixed_precision_step_close_to_f32():
     """compute_dtype=bf16: params/opt stay f32, metrics track the f32 step
     (bf16 conv stacks; losses and BN moments in f32)."""
@@ -212,6 +218,7 @@ def test_mixed_precision_step_close_to_f32():
             assert abs(a - b) / abs(a) < 0.15, (name, a, b)
 
 
+@pytest.mark.slow
 def test_grad_accumulation():
     """grad_accum=2: params frozen on odd micro-steps, applied on even; the
     EMA blends ONLY on application steps (otherwise its effective horizon

@@ -12,6 +12,8 @@ the pyramid/D stack really has 4 scales, the tied parameters stay tied
 remat=False step bit-for-bit in f32 (memory-only transform).
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -52,6 +54,7 @@ def _setup(remat=False, base=4):
     return trainer, batch
 
 
+@pytest.mark.slow
 def test_x16_step_runs_and_is_finite():
     trainer, batch = _setup()
     assert len(trainer.sizes) == 4  # 8/16/32/64 at BASE_SIZE=4
@@ -76,6 +79,7 @@ def test_x16_step_runs_and_is_finite():
         np.asarray(jax.tree.leaves(state2.g_params)[0]), leaf_before)
 
 
+@pytest.mark.slow
 def test_x16_remat_matches_baseline():
     t0, batch = _setup(remat=False)
     t1, _ = _setup(remat="all")
@@ -95,6 +99,7 @@ def test_x16_remat_matches_baseline():
         s0.g_params, s1.g_params)
 
 
+@pytest.mark.slow
 def test_x16_dp_sharded_step_matches_single_device():
     """DP equivalence for the x16 family (the x8 version lives in
     test_gan_trainer_sharding.py): the mesh-sharded BRANCH_NUM=5 fused

@@ -117,6 +117,7 @@ def test_pipeline_plan_microbatch(monkeypatch):
     assert calls["budget"] == 10**9
 
 
+@pytest.mark.slow
 def test_gan_trainer_plan_batch():
     """plan_batch AOT-compiles the production fused step at candidate
     batches (nothing executes beyond the tiny shape-source init) and

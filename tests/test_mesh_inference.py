@@ -38,6 +38,7 @@ def _build(cfg, mesh=None):
     return pipe, np.asarray(lr), np.asarray(caps), np.asarray(lens)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_equals_single():
     assert len(jax.devices()) >= 8, "conftest forces 8 CPU devices"
     cfg = Config()
@@ -77,6 +78,7 @@ def test_forward_scan_under_mesh_sharding():
     np.testing.assert_array_equal(out_ref, out_mesh)
 
 
+@pytest.mark.slow
 def test_int8_quant_under_mesh_sharding():
     """The int8 interceptor composes with DP mesh sharding: sharded
     quantized inference == unsharded quantized inference (and differs from

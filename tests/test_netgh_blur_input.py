@@ -7,6 +7,8 @@ SR at eval; zero-variance-BN NaN in training)."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,6 +66,7 @@ def test_lr_blur_modes_receive_blurred_lr():
     np.testing.assert_array_equal(np.asarray(same), lr)
 
 
+@pytest.mark.slow
 def test_trainer_blur_mode_finite():
     """gan_trainer with INPUT_NETGH='lr-lrblur': the HF branch input is the
     (nonzero) high-frequency residual -> train step stays finite (was NaN

@@ -8,6 +8,8 @@ seeds, same batch). The B>=256 memory win itself is measured on the TPU
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,7 @@ def _setup(remat, **kw):
     return trainer, batch
 
 
+@pytest.mark.slow
 def test_remat_step_matches_baseline():
     t0, batch = _setup(remat=False)
     t1, _ = _setup(remat=True)
@@ -73,6 +76,7 @@ def test_remat_step_matches_baseline():
                                    err_msg=jax.tree_util.keystr(p0))
 
 
+@pytest.mark.slow
 def test_remat_granularity_matches_baseline():
     """'low'/'high' selective remat must also be numerics-preserving, and
     an unknown policy must be rejected eagerly."""
@@ -95,6 +99,7 @@ def test_remat_granularity_matches_baseline():
         _setup(remat="bogus")
 
 
+@pytest.mark.slow
 def test_reuse_g_forward_matches_baseline():
     """reuse_g_forward=True (single vjp'd G forward shared by the D and G
     updates) must be numerics-preserving vs the two-forward baseline: same

@@ -48,6 +48,7 @@ def test_geometry_contracts():
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=os.path.basename)
+@pytest.mark.slow
 def test_config_builds_its_model_family(path):
     """Every shipped config must construct a pipeline whose output size
     matches its own cfg.imsize — this is what catches a config that the

@@ -70,6 +70,7 @@ def test_spatial_batch_and_pyramid():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_spatial_int8_quant():
     """The int8 interceptor composes with row sharding. Sharded/unsharded
     programs tile convs differently, so (as in the DP test) quantized

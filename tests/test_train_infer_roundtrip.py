@@ -6,6 +6,8 @@ train both generator branches adversarially, snapshot the EMA weights
 the inference engine, and super-resolve.
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -18,6 +20,7 @@ from tgsr_tpu.engine.inference import SRPipeline
 from tgsr_tpu.models.text_encoder import TextEncoder
 
 
+@pytest.mark.slow
 def test_train_snapshot_infer_roundtrip(tmp_path):
     cfg = Config()
     cfg = dataclasses.replace(

@@ -6,6 +6,8 @@ This is the failure-recovery contract behind cli/train_gan --resume
 mechanism is a KeyboardInterrupt handler (pretrain_DAMSM.py:293-295).
 """
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -47,6 +49,7 @@ def _tiny_setup():
     return trainer, state, batch
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path):
     from tgsr_tpu.checkpoints.orbax_io import (
         latest_step, restore_train_state, save_train_state)

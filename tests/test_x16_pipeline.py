@@ -1,5 +1,7 @@
 """x16 path through SRPipeline + the x16 checkpoint converter."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -121,6 +123,7 @@ def test_convert_netg_low16_loads():
     assert a == b, f"{a}\n!=\n{b}"
 
 
+@pytest.mark.slow
 def test_x16_int8_quant_path():
     """The int8 interceptor is model-agnostic: calibrate + run the x16
     family (tied stages, shared blocks) quantized; outputs differ from
