@@ -49,6 +49,37 @@ def _init_watchdog(seconds: float = 300.0):
     return done.set
 
 
+def _deadline_watchdog(best_box, seconds: float = 2100.0):
+    """The remote-compile service on this stack occasionally wedges
+    mid-compile (observed round 3 and round 5: ~18 min with zero host CPU
+    progress). If the full bench hasn't finished within `seconds`, print
+    the best result collected so far (or a diagnosable failure line) and
+    exit 0 so the driver records SOMETHING instead of timing out with an
+    empty artifact. Returns a cancel() fn."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if done.wait(seconds):
+            return
+        if best_box.get("value"):
+            line = dict(best_box)
+            line["metric"] = ("PARTIAL (bench deadline %ds hit — remote-"
+                              "compile wedge?): " % seconds) + line["metric"]
+            print(json.dumps(line), flush=True)
+            os._exit(0)  # a real measured number — usable artifact
+        print(json.dumps({
+            "metric": f"BENCH FAILED: no result within {seconds:.0f}s "
+                      "(remote-compile service wedged?)",
+            "value": 0, "unit": "img/s", "vs_baseline": 0,
+        }), flush=True)
+        os._exit(18)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set
+
+
 def main():
     import pickle
 
@@ -57,6 +88,9 @@ def main():
 
     dev = jax.devices()[0]
     cancel_watchdog()
+    best_box = {}
+    cancel_deadline = _deadline_watchdog(
+        best_box, float(os.environ.get("TGSR_BENCH_DEADLINE", 2100)))
 
     import jax.numpy as jnp
     from PIL import Image
@@ -141,6 +175,11 @@ def main():
                   file=sys.stderr)
             if ips > best:
                 best, best_cfg = ips, f"batch {B}x{M} microbatch-scan"
+                best_box.update({
+                    "metric": "images/sec/chip at x8 face SR "
+                              f"({best_cfg}, bf16, forced-sync)",
+                    "value": round(best, 1), "unit": "img/s",
+                    "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 1)})
         except Exception as e:
             print(f"[bench] B={B}xM={M} failed: {type(e).__name__}",
                   file=sys.stderr)
@@ -256,10 +295,16 @@ def main():
             best_cfg = f"batch {B}x{M} microbatch-scan"
             dtype_used = ("int8 convs, %.0f dB vs f32, e2e PSNR-Y +0.05 dB"
                           % psnr_q)
+            best_box.update({
+                "metric": "images/sec/chip at x8 face SR "
+                          f"({best_cfg}, {dtype_used}, forced-sync)",
+                "value": round(best, 1), "unit": "img/s",
+                "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 1)})
     except Exception as e:  # quantized path must never break the bench
         print(f"[bench] int8 path failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    cancel_deadline()
     line = {
         "metric": "images/sec/chip at x8 face SR (%s, %s, forced-sync)"
                   % (best_cfg, dtype_used),
