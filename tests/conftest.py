@@ -21,9 +21,13 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     # 8 virtual device threads share ONE physical core here; under
     # external load the default 40 s rendezvous deadline SIGABRTs the
     # whole pytest process mid-collective (observed: a concurrent
-    # compile job starved test_distributed_checkpoint's all-gather).
-    # Slow is recoverable, aborted is not.
-    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    # compile job starved test_distributed_checkpoint's all-gather; a
+    # round-5 run with THREE concurrent jobs blew even a 600 s deadline).
+    # Slow is recoverable, aborted is not: 1800 s matches pyproject's
+    # faulthandler_timeout so a genuine deadlock dumps tracebacks before
+    # the rendezvous guard can kill the whole session; warn_stuck keeps
+    # printing progress warnings every 2 min meanwhile.
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1800"
               " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
 os.environ["XLA_FLAGS"] = flags
 

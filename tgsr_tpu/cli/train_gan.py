@@ -385,6 +385,8 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                   ckpt_writer, device_preprocess, jnp, val_db=None):
     import os
 
+    import jax
+
     from tgsr_tpu.data.pipeline import device_prefetch
 
     _LAST_STATE[0] = state
