@@ -87,10 +87,69 @@ def _abstract(tree):
 
 @pytest.mark.slow
 def test_sharded_save_restore_resume(tmp_path):
+    """Runs the sharded save/restore/resume contract in an ISOLATED
+    subprocess with retry-on-runtime-abort.
+
+    Why: XLA:CPU's in-process collectives deadlock intermittently on this
+    8-virtual-device 4x2 mesh even with per-step synchronization
+    (observed round 4 and three times round 5 at the same loop: threads
+    of one sharded program's collectives stall against each other, the
+    rendezvous watchdog eventually SIGABRTs, and — run in-process — that
+    kills the ENTIRE pytest session). The contract under test is ours;
+    the deadlock is the CPU runtime's (real TPU collectives have no such
+    in-process thread rendezvous). Isolation keeps the suite alive and a
+    bounded retry absorbs the ~1/6 flake; a genuine assertion failure is
+    NOT retried.
+    """
+    import subprocess
+    import sys
+
+    from tests.conftest import REPO_ROOT
+
+    last, notes = None, []
+    for attempt in range(3):
+        work = tmp_path / f"attempt{attempt}"
+        work.mkdir()
+        prog = (
+            "import tests.conftest\n"
+            "from tests.test_distributed_checkpoint import "
+            "_sharded_save_restore_resume_impl as f\n"
+            f"f({str(work)!r})\n"
+            "print('IMPL-OK')\n"
+        )
+        try:
+            # clean run measures ~170 s cold; a stalled collective never
+            # finishes, so 480 s IS the deadlock detector
+            last = subprocess.run(
+                [sys.executable, "-c", prog], cwd=REPO_ROOT,
+                capture_output=True, text=True, timeout=480)
+        except subprocess.TimeoutExpired:
+            notes.append(f"attempt {attempt}: deadlocked (480s), retrying")
+            continue
+        if last.returncode == 0 and "IMPL-OK" in last.stdout:
+            return
+        runtime_abort = last.returncode in (134, -6) or (
+            "Timed out" in last.stderr or "rendezvous" in last.stderr
+            or "terminate_timeout" in last.stderr)
+        if not runtime_abort:
+            break  # real failure: surface it, don't retry
+        notes.append(f"attempt {attempt}: runtime abort "
+                     f"rc={last.returncode}, retrying")
+    raise AssertionError(
+        "sharded save/restore impl failed; " + "; ".join(notes) +
+        (f"\nrc={last.returncode}\n--- stdout ---\n{last.stdout[-2000:]}"
+         f"\n--- stderr ---\n{last.stderr[-3000:]}" if last else
+         " (all attempts deadlocked)"))
+
+
+def _sharded_save_restore_resume_impl(tmp_dir):
+    import os
+
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
                 ("data", "model"))
     trainer, state, batch = _setup(mesh)
     state = _tp_shard_params(state, mesh)
+    ckpt_dir = os.path.join(tmp_dir, "ckpt")
 
     # uninterrupted: 4 sharded steps, checkpointing after step 2.  The
     # save (and host-side value/sharding snapshots for the asserts below)
@@ -101,7 +160,7 @@ def test_sharded_save_restore_resume(tmp_path):
     s = state
     for i in range(4):
         if i == 2:
-            save_train_state(str(tmp_path / "ckpt"), 2, s)
+            save_train_state(ckpt_dir, 2, s)
             snap_abs = _abstract(s)
             snap_host = jax.tree.map(np.asarray, s)
         s, metrics, _ = trainer.train_step(s, batch, jax.random.fold_in(
@@ -115,7 +174,7 @@ def test_sharded_save_restore_resume(tmp_path):
         jax.block_until_ready(s)
     final_ref = s
 
-    restored, step = restore_train_state(str(tmp_path / "ckpt"), snap_abs)
+    restored, step = restore_train_state(ckpt_dir, snap_abs)
     assert step == 2
 
     # values intact, placement as requested (incl. the TP-sharded kernels)
