@@ -163,8 +163,9 @@ def main():
         "embedding_dim": cfg.TEXT.EMBEDDING_DIM,
         "recipe": (f"DAMSM pretrain protocol: {n} pairs ({n_caps} real "
                    f"testset.txt captions x {args.crops} aug crops of "
-                   f"000155.png), {'SimpleCNN' if args.simple else 'frozen '
-                   'Inception'} @{args.size}px, {args.steps} steps, "
+                   f"000155.png), "
+                   f"{'SimpleCNN' if args.simple else 'frozen Inception'} "
+                   f"@{args.size}px, {args.steps} steps, "
                    f"lr {args.lr}"),
         "final_word_r1": w1,
         "final_sent_r1": s1,

@@ -126,12 +126,18 @@ def main() -> None:
     # slice contributed; metadata lists slice host-side)
     from tgsr_tpu.parallel.multihost import land_batch
 
-    lb = land_batch(mesh, {"lr": lr, "keys": [f"k{i}" for i in range(B)]})
+    lb = land_batch(mesh, {"lr": lr, "n": np.int32(B),
+                           "keys": [f"k{i}" for i in range(B)]})
     lb_sum = float(jax.jit(jnp.sum)(lb["lr"]))  # keys list is host-side
     assert abs(lb_sum - float(lr.sum())) < 1e-3, (lb_sum, float(lr.sum()))
     want_keys = ([f"k{i}" for i in range(sl.start, sl.stop)]
                  if nproc > 1 else [f"k{i}" for i in range(B)])
     assert lb["keys"] == want_keys, lb["keys"]
+    # 0-d leaves land as REPLICATED jax.Arrays in both topologies (the
+    # single-process branch always did; the multi-process branch must
+    # match so the same consumer code runs under either runtime)
+    assert lb["n"].sharding.is_fully_replicated, lb["n"].sharding
+    assert int(lb["n"]) == B
 
     k = jax.random.PRNGKey(0)
     enc = TextEncoder(vocab_size=vocab, nhidden=cfg.TEXT.EMBEDDING_DIM)
@@ -179,6 +185,24 @@ def main() -> None:
         for x, y in zip(jax.tree.leaves(fstate), jax.tree.leaves(restored)))
     log(f"restore: maxdiff {md}, layout preserved: {layout_ok}")
 
+    # fetch_to_host: assemble a CROSS-PROCESS-sharded leaf to host numpy
+    # on every rank (the msgpack-snapshot path of cli.train_gan under
+    # FSDP); the host sum must equal the in-graph sum of the same leaf
+    from tgsr_tpu.parallel.multihost import fetch_to_host
+
+    cross = [x for x in jax.tree.leaves(fstate)
+             if hasattr(x, "sharding") and not x.sharding.is_fully_replicated]
+    fetch_sum = fetch_ingraph_sum = 0.0
+    if cross:
+        leaf = max(cross, key=lambda x: x.size)
+        host_leaf = fetch_to_host(leaf)
+        assert host_leaf.shape == leaf.shape, (host_leaf.shape, leaf.shape)
+        fetch_sum = float(host_leaf.astype(np.float32).sum(
+            dtype=np.float32))
+        fetch_ingraph_sum = float(jax.jit(jnp.sum)(leaf))
+        log(f"fetch_to_host: {leaf.shape} leaf assembled, host sum "
+            f"{fetch_sum:.6f} vs in-graph {fetch_ingraph_sum:.6f}")
+
     with open(os.path.join(outdir, f"result_p{pid}.json"), "w") as f:
         json.dump({
             "process_count": jax.process_count(),
@@ -192,6 +216,8 @@ def main() -> None:
             "ckpt_maxdiff": md,
             "ckpt_layout_preserved": bool(layout_ok),
             "ckpt_cross_process_sharded_leaves": n_cross,
+            "fetch_sum": fetch_sum,
+            "fetch_ingraph_sum": fetch_ingraph_sum,
         }, f, indent=1)
     log("done")
 

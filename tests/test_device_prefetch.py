@@ -64,6 +64,26 @@ def test_prefetch_with_sharding():
             np.asarray(b["x"]), np.arange(32, dtype=np.float32).reshape(16, 2))
 
 
+def test_prefetch_with_put_override():
+    """`put=` replaces the default device_put landing (the multi-process
+    CLIs pass land_batch here so cross-process assembly is prefetched)."""
+    from tgsr_tpu.parallel.mesh import make_mesh
+    from tgsr_tpu.parallel.multihost import land_batch
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    out = list(device_prefetch(
+        ({"x": np.full((16, 2), float(i)), "keys": [f"a{i}"]}
+         for i in range(3)),
+        depth=2, put=lambda b: land_batch(mesh, b)))
+    assert len(out) == 3
+    for i, b in enumerate(out):
+        assert b["x"].sharding.spec == jax.sharding.PartitionSpec(
+            "data", None)
+        np.testing.assert_array_equal(np.asarray(b["x"]),
+                                      np.full((16, 2), float(i)))
+        assert b["keys"] == [f"a{i}"]
+
+
 def test_enable_compile_cache(tmp_path, monkeypatch):
     prev = jax.config.jax_compilation_cache_dir
     try:

@@ -38,7 +38,7 @@ def test_hybrid_mesh_topology():
         for row in mesh_tp.devices[s]:
             assert all(d.id in slice_sets[s] for d in row)
 
-    with pytest.raises(AssertionError, match="needs"):
+    with pytest.raises(ValueError, match="needs"):
         make_hybrid_mesh(n_slices=4, n_data=4, n_model=1)
 
 

@@ -85,6 +85,22 @@ def test_land_batch_single_process():
     np.testing.assert_array_equal(np.asarray(out["x"]), host["x"])
 
 
+def test_fetch_to_host_single_process():
+    """fetch_to_host degenerates to np.asarray on one process (every
+    array is fully addressable), including sharded ones."""
+    from tgsr_tpu.parallel.multihost import fetch_to_host, is_main_process
+
+    assert is_main_process()
+    mesh = make_mesh(n_data=8, n_model=1)
+    x = jax.device_put(np.arange(16.0, dtype=np.float32),
+                       NamedSharding(mesh, P("data")))
+    out = fetch_to_host({"x": x, "y": np.float32(3.0)})
+    assert isinstance(out["x"], np.ndarray)
+    np.testing.assert_array_equal(out["x"],
+                                  np.arange(16.0, dtype=np.float32))
+    assert float(out["y"]) == 3.0
+
+
 # ---------------------------------------------------------------------------
 # real multi-process execution (VERDICT r4 top item)
 # ---------------------------------------------------------------------------
@@ -150,6 +166,15 @@ def test_two_process_train_step_and_sharded_checkpoint(tmp_path):
         assert r["ckpt_maxdiff"] == 0.0
         assert r["ckpt_layout_preserved"]
         assert r["ckpt_cross_process_sharded_leaves"] > 0
+        # fetch_to_host assembled a cross-process-sharded leaf correctly
+        # on BOTH ranks (the FSDP msgpack-snapshot path). Host numpy and
+        # in-graph XLA sum the ~3.5M-element leaf in different f32
+        # association orders, so allow accumulation-order noise.
+        assert abs(r["fetch_sum"] - r["fetch_ingraph_sum"]) <= \
+            1e-3 * max(1.0, abs(r["fetch_sum"])), r
+    # both ranks assembled the identical value
+    assert two[0]["fetch_sum"] == two[1]["fetch_sum"], (
+        two[0]["fetch_sum"], two[1]["fetch_sum"])
     # SPMD: both processes computed identical global metrics
     m0, m1 = two[0]["metrics"], two[1]["metrics"]
     assert set(m0) == set(m1)

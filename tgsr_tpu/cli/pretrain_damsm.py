@@ -112,9 +112,14 @@ def main(argv=None):
     model_dir = os.path.join(out, "Model")
     os.makedirs(model_dir, exist_ok=True)
     from tgsr_tpu.utils.observability import MetricsLogger
+    from tgsr_tpu.parallel.multihost import is_main_process
 
+    # rank 0 owns the metric files; other ranks get a no-op logger=None
+    # path through fit (concurrent JSONL/CSV writers on one shared dir
+    # would interleave lines)
     logger = MetricsLogger(os.path.join(out, "Log"),
-                           tensorboard=args.tensorboard, csv=args.csv)
+                           tensorboard=args.tensorboard, csv=args.csv) \
+        if is_main_process() else None
 
     imsize = cfg.TREE.BASE_SIZE  # DAMSM configs: BRANCH_NUM=1, size 299
     if cfg.DATASET_NAME == "face":
@@ -244,13 +249,27 @@ def main(argv=None):
     os.makedirs(image_dir, exist_ok=True)
 
     def snapshot(state, epoch):
-        # = text_encoder%d.pth / image_encoder%d.pth pairing
-        save_variables(os.path.join(model_dir, f"text_encoder{epoch}.msgpack"),
-                       {"params": state.text_params})
-        save_variables(os.path.join(model_dir, f"image_encoder{epoch}.msgpack"),
-                       {"params": state.cnn_params,
-                        "batch_stats": state.cnn_stats})
-        print(f"snapshot @ epoch {epoch} -> {model_dir}")
+        from tgsr_tpu.parallel.multihost import is_main_process
+
+        # = text_encoder%d.pth / image_encoder%d.pth pairing. Under a
+        # multi-process runtime only rank 0 writes (concurrent writes to
+        # one shared path would interleave); params are replicated so
+        # every rank could fetch them, but only one may persist.
+        if is_main_process():
+            save_variables(
+                os.path.join(model_dir, f"text_encoder{epoch}.msgpack"),
+                {"params": state.text_params})
+            save_variables(
+                os.path.join(model_dir, f"image_encoder{epoch}.msgpack"),
+                {"params": state.cnn_params,
+                 "batch_stats": state.cnn_stats})
+            print(f"snapshot @ epoch {epoch} -> {model_dir}")
+        if jax.process_count() > 1:
+            # the attention-grid dump below runs a COLLECTIVE eval_step;
+            # gating it on rank 0 would deadlock the others, and running
+            # it on all ranks just to write one PNG isn't worth a step —
+            # multi-process runs rely on the single-process viz path
+            return
         # attention-grid dump (= pretrain_DAMSM.py:100-129 build_super_images)
         try:
             import numpy as np
@@ -324,7 +343,8 @@ def main(argv=None):
             # snapshot is then the best available
             print(f"interrupted; final snapshot unsaveable ({e})")
     finally:
-        logger.close()  # flushes TB event files when --tensorboard
+        if logger is not None:
+            logger.close()  # flushes TB event files when --tensorboard
 
 
 if __name__ == "__main__":

@@ -257,8 +257,14 @@ def main(argv=None):
         state, start_step = restore_train_state(ckpt_dir, state)
         print(f"resumed from step {start_step}")
 
+    # rank 0 owns the metric files under a multi-process runtime (the
+    # _train_epochs log calls are is_main-gated to match; an eager open
+    # by another rank could still truncate the shared path)
+    from tgsr_tpu.parallel.multihost import is_main_process
+
     logger = MetricsLogger(os.path.join(args.out_dir, "Log"),
-                           tensorboard=args.tensorboard, csv=args.csv)
+                           tensorboard=args.tensorboard, csv=args.csv) \
+        if is_main_process() else None
     timer = StepTimer()
 
     val_db = None
@@ -389,6 +395,9 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
 
     from tgsr_tpu.data.pipeline import device_prefetch
 
+    from tgsr_tpu.parallel.multihost import is_main_process
+
+    is_main = is_main_process()
     _LAST_STATE[0] = state
     sharding = None
     if trainer.mesh is not None:
@@ -415,12 +424,16 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
         if trainer.mesh is not None and jax.process_count() > 1:
             # multi-process: a plain device_put would target other hosts'
             # devices; each process lands only its slice of the global
-            # batch (parallel.multihost.land_batch). The deterministic
-            # loader replays the SAME stream on every host, so slicing is
-            # consistent; exact-resume semantics are unchanged.
+            # batch (parallel.multihost.land_batch), still prefetched
+            # depth-2 so host slicing + H2D overlaps the previous step.
+            # The deterministic loader replays the SAME stream on every
+            # host, so slicing is consistent; exact-resume semantics are
+            # unchanged.
             from tgsr_tpu.parallel.multihost import land_batch
 
-            batch_iter = (land_batch(trainer.mesh, b) for b in host_iter)
+            batch_iter = device_prefetch(
+                host_iter, depth=2,
+                put=lambda b: land_batch(trainer.mesh, b))
         else:
             batch_iter = device_prefetch(host_iter, depth=2,
                                          sharding=sharding)
@@ -447,10 +460,11 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                                           val_db)
                 vm = {"val_psnr_y": float(em["psnr_y"]),
                       "val_ssim_y": float(em["ssim_y"])}
-                print(f"epoch {epoch} it {it}: " + " ".join(
-                    f"{k}={v:.4f}" for k, v in vm.items()))
-                logger.log(it, **vm)
-            if it % args.log_every == 0:
+                if is_main:
+                    print(f"epoch {epoch} it {it}: " + " ".join(
+                        f"{k}={v:.4f}" for k, v in vm.items()))
+                    logger.log(it, **vm)
+            if it % args.log_every == 0 and is_main:
                 print(f"epoch {epoch} it {it}: " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
                     + (f" [{ema_ms:.0f} ms/step]" if ema_ms else ""))
@@ -462,18 +476,29 @@ def _train_epochs(args, cfg, trainer, loader, state, rng, it, epochs, timer,
                     # never persist a poisoned state: the periodic check
                     # above may be out of phase with the snapshot interval
                     _abort_if_nonfinite(metrics, it, ckpt_dir)
-                # paired netG/netGH snapshots (trainer_objective.py:91-93)
-                save_variables(
-                    os.path.join(model_dir, f"netG_it{it}.msgpack"),
-                    {"params": state.g_ema["netg"],
-                     "batch_stats": state.g_stats["netg"]})
-                save_variables(
-                    os.path.join(model_dir, f"netGH_it{it}.msgpack"),
-                    {"params": state.g_ema["netgh"],
-                     "batch_stats": state.g_stats["netgh"]})
+                # paired netG/netGH snapshots (trainer_objective.py:91-93).
+                # Multi-process: fetch_to_host assembles cross-process-
+                # sharded (FSDP) leaves on every rank (collective), then
+                # only rank 0 writes — un-gated writes to one shared path
+                # would interleave and corrupt the msgpack.
+                ema = {"ema": state.g_ema, "stats": state.g_stats}
+                if jax.process_count() > 1:
+                    from tgsr_tpu.parallel.multihost import fetch_to_host
+
+                    ema = fetch_to_host(ema)
+                if is_main:
+                    save_variables(
+                        os.path.join(model_dir, f"netG_it{it}.msgpack"),
+                        {"params": ema["ema"]["netg"],
+                         "batch_stats": ema["stats"]["netg"]})
+                    save_variables(
+                        os.path.join(model_dir, f"netGH_it{it}.msgpack"),
+                        {"params": ema["ema"]["netgh"],
+                         "batch_stats": ema["stats"]["netgh"]})
                 # async: returns after the device->host copy; the disk
                 # write overlaps the following steps (donation-safe,
-                # tests/test_distributed_checkpoint.py)
+                # tests/test_distributed_checkpoint.py). Orbax coordinates
+                # multi-process saves itself — every rank participates.
                 ckpt_writer.save(it, state)
     return it
 

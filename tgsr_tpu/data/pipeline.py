@@ -137,7 +137,7 @@ class BatchLoader:
 
 
 def device_prefetch(batches: Iterator[Dict[str, Any]], depth: int = 2,
-                    sharding=None) -> Iterator[Dict[str, Any]]:
+                    sharding=None, put=None) -> Iterator[Dict[str, Any]]:
     """Overlap host->device transfer with device compute: device_put each
     numpy batch `depth` steps ahead of consumption, so step N's compute
     hides step N+1..N+depth's H2D copies (the role torch's
@@ -149,14 +149,20 @@ def device_prefetch(batches: Iterator[Dict[str, Any]], depth: int = 2,
     applied to every array — DP trainers pass their batch sharding so the
     prefetch lands shards directly on each device.
 
+    `put`: optional batch-landing override (tree -> tree of device
+    arrays); multi-process trainers pass parallel.multihost.land_batch so
+    the cross-process assembly is ALSO dispatched `depth` steps ahead
+    (device_put/make_array dispatch is async, so the overlap carries over).
+
     Python-level lists/scalars pass through untouched (e.g. the "keys"
     field of prepare_batch)."""
     from collections import deque
 
-    def put(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding)
-            if isinstance(x, (np.ndarray, jax.Array)) else x, tree)
+    if put is None:
+        def put(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding)
+                if isinstance(x, (np.ndarray, jax.Array)) else x, tree)
 
     buf: deque = deque()
     it = iter(batches)

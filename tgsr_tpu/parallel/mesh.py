@@ -64,26 +64,38 @@ def make_hybrid_mesh(
     if n_data is None:
         n_data = len(devices) // (n_slices * n_model)
     need = n_slices * n_data * n_model
-    assert n_slices >= 1 and n_data >= 1 and n_model >= 1 and \
-        need <= len(devices), (
+    if n_slices < 1 or n_data < 1 or n_model < 1 or need > len(devices):
+        raise ValueError(
             f"hybrid mesh {n_slices}x{n_data}x{n_model} needs {need} "
             f"devices, have {len(devices)}")
-    try:
+    # Only take the topology-aware path when the runtime actually exposes
+    # slice granules (real multi-slice TPU: every device carries a
+    # slice_index and there is more than one slice). There a failure in
+    # create_hybrid_device_mesh (e.g. n_slices not matching the real
+    # granule count) must PROPAGATE — silently falling back to a row-major
+    # reshape would put 'model'/'data' collectives on DCN links while
+    # claiming success.
+    slice_ids = {getattr(d, "slice_index", None) for d in devices[:need]}
+    if None not in slice_ids and len(slice_ids) > 1:
         from jax.experimental import mesh_utils
 
         grid = mesh_utils.create_hybrid_device_mesh(
             (1, n_data, n_model), (n_slices, 1, 1), devices=devices[:need])
         grid = grid.reshape(n_slices, n_data, n_model)
-    except Exception:
-        # no slice granules on this runtime: simulate the topology
+    else:
+        # no slice granules on this runtime (CPU tests, one real slice):
+        # simulate the topology — same mesh semantics, deliberate fallback
         grid = np.asarray(devices[:need]).reshape(n_slices, n_data,
                                                   n_model)
     return Mesh(grid, ("dcn", "data", "model"))
 
 
 def hybrid_data_spec(ndim: int = 1) -> P:
-    """Batch partition spec on a hybrid mesh: DP over slices x intra-slice
-    chips (axis 0 sharded over BOTH 'dcn' and 'data')."""
+    """Batch partition spec on a HYBRID mesh specifically: DP over slices x
+    intra-slice chips (axis 0 sharded over BOTH 'dcn' and 'data'). Only
+    valid against a make_hybrid_mesh mesh — topology-agnostic code should
+    use `batch_spec(mesh, ndim)`, which returns this on hybrid meshes and
+    P('data', ...) on flat ones."""
     return P(("dcn", "data"), *([None] * (ndim - 1)))
 
 
@@ -159,9 +171,10 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(tree: Any, mesh: Mesh) -> Any:
-    """Shard every leaf's leading axis over 'data'; scalar (0-d) leaves
-    (e.g. pad_to_multiple's n_real count) replicate instead of crashing
-    data_sharding with a rank-1 spec."""
+    """Shard every leaf's leading axis over the mesh's batch axes
+    (batch_axes: ('dcn','data') on hybrid meshes, 'data' otherwise);
+    scalar (0-d) leaves (e.g. pad_to_multiple's n_real count) replicate
+    instead of crashing data_sharding with a rank-1 spec."""
     repl = NamedSharding(mesh, P())
     return jax.tree.map(
         lambda x: jax.device_put(

@@ -135,9 +135,45 @@ def land_batch(mesh: Mesh, host_batch: Any) -> Any:
                 NamedSharding(mesh, batch_spec(mesh, arr.ndim)), arr)
         if is_meta(x):
             return x[sl]
+        if isinstance(x, (np.ndarray, np.generic, jax.Array)):
+            # 0-d leaf: replicate (same contract as the single-process
+            # branch; a plain device_put would target non-addressable
+            # devices, make_array_from_callback fills only local shards)
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, NamedSharding(mesh, P()), lambda idx: arr[idx])
         return x
 
     return jax.tree.map(one, host_batch, is_leaf=is_meta)
+
+
+def is_main_process() -> bool:
+    """True on the process that should perform host-side singleton writes
+    (msgpack snapshots, metric logs, prints). Multi-process training runs
+    every rank through the same loop — un-gated writes to a shared
+    filesystem interleave and corrupt (orbax checkpoints are the
+    exception: they are multi-process-coordinated by design)."""
+    return jax.process_index() == 0
+
+
+def fetch_to_host(tree: Any) -> Any:
+    """Fetch a pytree to host numpy on EVERY process, including leaves
+    sharded ACROSS processes (e.g. an FSDP g_ema): non-fully-addressable
+    jax.Arrays are assembled with a cross-process allgather. COLLECTIVE
+    when any leaf spans processes — all ranks must call it, then typically
+    only is_main_process() writes the result."""
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            # non-fully-addressable input -> fully replicated numpy value
+            # at the ORIGINAL global shape (process_allgather's contract;
+            # it requires tiled=True for global arrays)
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(one, tree)
 
 
 def process_local_slice(n_global: int) -> slice:
