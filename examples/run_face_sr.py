@@ -21,6 +21,9 @@ def main():
     p.add_argument("--out", default="/tmp/demo_sr.png")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--ref", default=REF)
+    p.add_argument("--seeded-text", action="store_true",
+                   help="seeded-init text encoder (the parity protocol) "
+                        "instead of the shipped trained NET_E")
     args = p.parse_args()
 
     if args.cpu:
@@ -50,9 +53,18 @@ def main():
     lens = np.asarray([L], np.int32)
     print("caption:", " ".join(ixtoword[t] for t in caps[0][:L]))
 
+    # same NET_E resolution as cli.test/cli.serve: the shipped trained
+    # face NET_E when available, else the seeded parity protocol
+    from tgsr_tpu.checkpoints.shipped import resolve_net_e
+
+    net_e_path, net_e_src = resolve_net_e(
+        cfg, "", len(ixtoword), seeded=args.seeded_text)
+    print("text encoder:", net_e_src)
+
     pipe = SRPipeline.from_reference_checkpoints(
         cfg, len(ixtoword),
         os.path.join(args.ref, "Checkpoint/face_S8/netG_epoch_7.pth"),
+        text_encoder_path=net_e_path,
         compute_dtype=jnp.bfloat16,
     )
     sr8 = pipe.sr_uint8(lr[None], tok, lens)
